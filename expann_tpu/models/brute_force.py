@@ -1,0 +1,86 @@
+"""Exact k-NN by one MXU matmul + top-k.
+
+TPU-native counterpart of the reference's linear-scan + size-k max-heap
+brute force engine (reference: src/brute_force_engine.h:29-46).  The scan
+becomes a single ``(B, N)`` matmul-distance and the heap becomes
+``lax.top_k``; it doubles as the ground-truth oracle for synthetic datasets
+(reference: src/dataset_loader.h:27-39) and as the recall oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from expann_tpu.models.base import Engine, ParamList
+from expann_tpu.ops.distance import pad_dim, pairwise_dist2, squared_norms
+
+
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
+def _exact_topk(q, x, x_norms, k: int, precision: str = "highest"):
+    d2 = pairwise_dist2(q, x, x_norms=x_norms, precision=precision)
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    return idx, -neg_d
+
+
+class BruteForceEngine(Engine):
+    """Exact nearest neighbours over an in-device corpus."""
+
+    def __init__(self, batch_size: int = 1024, precision: str = "highest"):
+        self._pending: List[np.ndarray] = []
+        self._x = None
+        self._x_norms = None
+        self.n = 0
+        self.dim = 0
+        self.batch_size = batch_size
+        self.precision = precision
+
+    def name(self) -> str:
+        return "Brute-Force Engine"
+
+    def param_list(self) -> ParamList:
+        return {}
+
+    def store_vector(self, v: np.ndarray) -> None:
+        self._pending.append(np.asarray(v, dtype=np.float32).ravel())
+
+    def store_many_vectors(self, vs: np.ndarray, take_norms: bool = False) -> None:
+        vs = np.asarray(vs, dtype=np.float32)
+        if vs.ndim != 2:
+            raise ValueError("Input should be a 2D array")
+        if take_norms:
+            norms = np.linalg.norm(vs, axis=1, keepdims=True)
+            vs = vs / np.maximum(norms, 1e-30)
+        self._pending.extend(vs)
+
+    def build(self) -> None:
+        assert self._pending or self._x is not None, "no vectors stored"
+        if self._pending:
+            x = np.stack(self._pending).astype(np.float32)
+            self._pending = []
+            self.n, self.dim = x.shape
+            x = pad_dim(x)
+            self._x = jnp.asarray(x)
+            self._x_norms = squared_norms(self._x)
+
+    def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
+        assert self._x is not None, "build() must be called before queries"
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim != 2:
+            raise ValueError("queries must be 2D")
+        q = pad_dim(q, self._x.shape[-1])
+        if q.shape[-1] != self._x.shape[-1]:
+            raise ValueError("query dim exceeds corpus dim")
+        out = []
+        bs = self.batch_size
+        for start in range(0, q.shape[0], bs):
+            chunk = jnp.asarray(q[start : start + bs])
+            idx, _ = _exact_topk(
+                chunk, self._x, self._x_norms, k, precision=self.precision
+            )
+            out.append(np.asarray(idx))
+        return np.concatenate(out, axis=0)

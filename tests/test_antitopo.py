@@ -1,0 +1,125 @@
+"""End-to-end engine tests: recall gates against exact ground truth and
+parity with the sequential oracle on small synthetic data."""
+
+import numpy as np
+
+from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
+from expann_tpu.models.brute_force import BruteForceEngine
+from expann_tpu.models.refbuild import SequentialOracle
+
+
+def _synthetic(n, m, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((n, d)).astype(np.float32),
+        rng.standard_normal((m, d)).astype(np.float32),
+    )
+
+
+def _recall(ans, gt):
+    m, k = gt.shape
+    hits = 0
+    for q in range(m):
+        hits += len(set(int(v) for v in ans[q]) & set(int(v) for v in gt[q]))
+    return hits / (m * k)
+
+
+def _ground_truth(x, q, k):
+    eng = BruteForceEngine()
+    eng.store_many_vectors(x)
+    eng.build()
+    return eng.query_k_batch(q, k)
+
+
+def test_engine_recall_small():
+    x, q = _synthetic(2000, 100, 32)
+    k = 10
+    gt = _ground_truth(x, q, k)
+    eng = AntitopoEngine(
+        config=AntitopoConfig(M=16, ef_construction=100, ef_search_mult=4)
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    ans = eng.query_k_batch(q, k)
+    rec = _recall(ans, gt)
+    assert rec >= 0.9, f"recall {rec} too low"
+
+
+def test_engine_no_duplicates():
+    x, q = _synthetic(1000, 50, 16, seed=3)
+    eng = AntitopoEngine(config=AntitopoConfig(M=8, ef_construction=50, ef_search_mult=3))
+    eng.store_many_vectors(x)
+    eng.build()
+    ans = eng.query_k_batch(q, 10)
+    for row in ans:
+        real = row[row < eng.n]
+        assert np.unique(real).size == real.size
+
+
+def test_engine_matches_oracle_recall():
+    """The batched one-shot build must be at least as good as the
+    sequential-insert oracle at equal search width (SURVEY.md hard part 2:
+    recall parity is the acceptance test, not graph isomorphism)."""
+    x, q = _synthetic(1500, 80, 24, seed=5)
+    k = 10
+    ef = 40
+    gt = _ground_truth(x, q, k)
+
+    oracle = SequentialOracle(M=12, ef_construction=80)
+    for row in x:
+        oracle.store_vector(row)
+    oracle_ans = np.array([oracle.query_k(row, k, ef_search=ef) for row in q])
+    oracle_rec = _recall(oracle_ans, gt)
+
+    eng = AntitopoEngine(
+        config=AntitopoConfig(M=12, ef_construction=80, ef_search=ef)
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    ans = eng.query_k_batch(q, k)
+    rec = _recall(ans, gt)
+    assert rec >= oracle_rec - 0.02, f"tpu {rec} vs oracle {oracle_rec}"
+
+
+def test_engine_compressed_path():
+    # SIFT-like non-negative small-int vectors so cast-quantization is sane
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 200, (1500, 32)).astype(np.float32)
+    q = rng.integers(0, 200, (60, 32)).astype(np.float32)
+    k = 10
+    gt = _ground_truth(x, q, k)
+    eng = AntitopoEngine(
+        config=AntitopoConfig(
+            M=16, ef_construction=100, ef_search_mult=4, use_compression=True
+        )
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    ans = eng.query_k_batch(q, k)
+    rec = _recall(ans, gt)
+    assert rec >= 0.85, f"compressed recall {rec} too low"
+    assert eng.num_distcomps_compressed > 0
+
+
+def test_engine_query_k_single():
+    x, _ = _synthetic(500, 1, 16, seed=11)
+    eng = AntitopoEngine(config=AntitopoConfig(M=8, ef_construction=40, ef_search_mult=4))
+    eng.store_many_vectors(x)
+    eng.build()
+    assert eng.query_k(x[42], 1) == [42]
+    assert eng.query_k_numpy(x[17], 1) == [17]
+
+
+def test_param_list_schema():
+    eng = AntitopoEngine(M=60, ef_construction=500, ortho_count=1,
+                         prune_overflow=0, use_compression=False)
+    pl = eng.param_list()
+    for key in [
+        "M", "M0", "ef_search_mult", "ef_construction", "ortho_count",
+        "ortho_factor", "ortho_bias", "prune_overflow", "use_compression",
+        "use_largest_direction_filtering", "num_distcomps",
+        "num_distcomps_compressed",
+    ]:
+        assert key in pl
+    assert pl["M0"] == "120"
+    assert pl["ortho_factor"] == "0.500000"

@@ -1,0 +1,91 @@
+import json
+import os
+
+import numpy as np
+
+from expann_tpu.bench.bench_data import BenchData
+from expann_tpu.bench.harness import get_benchmark_data
+from expann_tpu.bench.manager import BenchDataManager
+from expann_tpu.data.dataset import TestDataset
+from expann_tpu.data.loader import (
+    load_synthetic_uniform_sphere_points,
+    read_vecs,
+)
+from expann_tpu.models.brute_force import BruteForceEngine
+
+
+def test_bench_data_json_schema_roundtrip():
+    bd = BenchData(
+        time_per_query_ns=123.0,
+        time_to_build_ns=456.0,
+        average_distance=1.5,
+        average_squared_distance=2.25,
+        recall=0.97,
+        engine_name="Anti-Topo Engine+",
+        param_list={"M": "60"},
+    )
+    j = json.loads(bd.to_string())
+    # exact reference field names (src/bench_data.h:20-27)
+    assert set(j.keys()) == {
+        "time_per_query_ns",
+        "time_to_build_ns",
+        "average_distance",
+        "average_squared_distance",
+        "recall",
+        "engine_name",
+        "param_list",
+    }
+    bd2 = BenchData.from_dict(j)
+    assert bd2 == bd
+
+
+def test_manager_all_latest_layout(tmp_path):
+    bdm = BenchDataManager("testds")
+    bdm.add(BenchData(recall=0.5, engine_name="e"))
+    prefix = str(tmp_path) + "/run/"
+    bdm.save(prefix)
+    bdm.save(prefix)  # second save appends to all.json, overwrites latest
+    with open(prefix + "data/latest.json") as f:
+        latest = json.load(f)
+    with open(prefix + "data/all.json") as f:
+        allj = json.load(f)
+    assert len(latest) == 1
+    assert len(allj) == 2
+
+
+def test_harness_brute_force_perfect_recall(tmp_path):
+    ds = load_synthetic_uniform_sphere_points(
+        n=300, m=20, k=5, d=16, cache_dir=str(tmp_path)
+    )
+    eng = BruteForceEngine()
+    bd = get_benchmark_data(eng, ds)
+    assert bd.recall == 1.0
+    assert bd.engine_name == "Brute-Force Engine"
+    assert bd.time_to_build_ns > 0
+    assert bd.time_per_query_ns > 0
+    # cache file created and loadable
+    ds2 = load_synthetic_uniform_sphere_points(
+        n=300, m=20, k=5, d=16, cache_dir=str(tmp_path)
+    )
+    np.testing.assert_array_equal(ds.ground_truth, ds2.ground_truth)
+
+
+def test_fvecs_ivecs_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((10, 7)).astype(np.float32)
+    path = str(tmp_path / "x.fvecs")
+    with open(path, "wb") as f:
+        for row in mat:
+            np.int32(7).tofile(f)
+            row.tofile(f)
+    got = read_vecs(path, np.float32)
+    np.testing.assert_array_equal(got, mat)
+
+    imat = rng.integers(0, 100, (5, 3)).astype(np.int32)
+    ipath = str(tmp_path / "x.ivecs")
+    with open(ipath, "wb") as f:
+        for row in imat:
+            np.int32(3).tofile(f)
+            row.tofile(f)
+    got = read_vecs(ipath, np.int64)
+    np.testing.assert_array_equal(got, imat.astype(np.int64))

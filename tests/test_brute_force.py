@@ -1,0 +1,42 @@
+import numpy as np
+
+from expann_tpu.models.brute_force import BruteForceEngine
+
+
+def _np_knn(q, x, k):
+    d = ((q[:, None, :].astype(np.float64) - x[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def test_brute_force_exact():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 32)).astype(np.float32)
+    q = rng.standard_normal((17, 32)).astype(np.float32)
+    eng = BruteForceEngine()
+    eng.store_many_vectors(x)
+    eng.build()
+    got = eng.query_k_batch(q, 5)
+    want = _np_knn(q, x, 5)
+    # allow order flips on exact ties only (random floats: no ties expected)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_brute_force_single_query_api():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    eng = BruteForceEngine()
+    for row in x:
+        eng.store_vector(row)
+    eng.build()
+    ids = eng.query_k(x[7], 1)
+    assert ids == [7]
+
+
+def test_brute_force_normalize():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((50, 8)).astype(np.float32) * 10
+    eng = BruteForceEngine()
+    eng.store_many_vectors(x, take_norms=True)
+    eng.build()
+    q = x[3] / np.linalg.norm(x[3])
+    assert eng.query_k(q, 1) == [3]
