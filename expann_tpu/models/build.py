@@ -79,9 +79,15 @@ def _block_topk_merge(run_d, run_i, qv, qn, xv, xn, col_ids, self_ids, C: int, p
     set-ordering tie-break)."""
     d2 = pairwise_dist2(qv, xv, x_norms=xn, q_norms=qn, precision=precision)
     d2 = jnp.where(col_ids[None, :] == self_ids[:, None], INF, d2)
-    ids = jnp.broadcast_to(col_ids[None, :], d2.shape)
-    all_d = jnp.concatenate([run_d, d2], axis=1)
-    all_i = jnp.concatenate([run_i, ids], axis=1)
+    # top-C of the block first (top_k breaks ties by lower index, i.e.
+    # ascending id within the block), then a short sorted merge with the
+    # running list — avoids sorting the full block width.
+    kk = min(C, d2.shape[1])
+    neg_d, idx = jax.lax.top_k(-d2, kk)
+    blk_d = -neg_d
+    blk_i = col_ids[idx]
+    all_d = jnp.concatenate([run_d, blk_d], axis=1)
+    all_i = jnp.concatenate([run_i, blk_i], axis=1)
     all_d, all_i = jax.lax.sort((all_d, all_i), num_keys=2)
     return all_d[:, :C], all_i[:, :C]
 

@@ -81,7 +81,9 @@ def greedy_descent(
     def cond(state):
         return state[2]
 
-    ep, ep_d, _ = jax.lax.while_loop(cond, body, (ep, ep_d, jnp.bool_(True)))
+    # data-dependent True initializer (shard_map varying-axes consistency)
+    improved0 = (ep == ep).all()
+    ep, ep_d, _ = jax.lax.while_loop(cond, body, (ep, ep_d, improved0))
     return ep, ep_d
 
 
@@ -135,7 +137,12 @@ def beam_search(
     beam_ids = beam_ids[:, :ef]
     beam_exp = beam_exp_i[:, :ef].astype(bool)
 
-    ncomp0 = jnp.asarray(B * E0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    # Derive loop-carry initializers from the (possibly shard-varying) beam
+    # data rather than fresh constants, so the while_loop carries have
+    # consistent varying-manual-axes when running inside shard_map.
+    ncomp0 = jnp.int32(B * E0) + beam_ids[0, 0] * 0
+    done0 = jnp.isnan(beam_d[:, 0])  # all False, but data-dependent
+    it0 = jnp.int32(0) + beam_ids[0, 0] * 0
 
     def body(state):
         beam_ids, beam_d, beam_exp, done, it, ncomp = state
@@ -192,8 +199,8 @@ def beam_search(
         beam_ids,
         beam_d,
         beam_exp,
-        jnp.zeros((B,), bool),
-        jnp.int32(0),
+        done0,
+        it0,
         ncomp0,
     )
     beam_ids, beam_d, _, _, _, ncomp = jax.lax.while_loop(cond, body, state)
