@@ -23,6 +23,10 @@ Design (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+from expann_tpu.utils.runtime import configure as _configure_runtime
+
+_configure_runtime()
+
 from expann_tpu.models.brute_force import BruteForceEngine
 from expann_tpu.models.antitopo import AntitopoEngine
 

@@ -56,6 +56,13 @@ class AntitopoConfig:
     precision: str = "highest"
     prune_cand: int = 0  # candidate-list cap fed to the prune; 0 -> auto
     query_block: int = 1024
+    query_expand: int = 1  # beam entries expanded per traversal iteration
+    builder: str = "auto"  # "oneshot" | "wave" | "auto"
+    wave_size: int = 1024
+    # quantization mode for use_compression: "simple" (uint8 cast, the
+    # reference's live path) or "ranged" (min/max affine q8, the principled
+    # variant the reference defines but never instantiates)
+    quant_mode: str = "simple"
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -89,6 +96,9 @@ class AntitopoEngine(Engine):
         self.dim = 0
         self.num_distcomps = 0
         self.num_distcomps_compressed = 0
+        # RECORD_STATS counterpart: accumulated wall-clock of query calls
+        # (reference: total_query_time, src/antitopo_engine.h:128,855-856)
+        self.total_query_time_ns = 0.0
 
     # --- identity / params -------------------------------------------------
     def name(self) -> str:
@@ -164,6 +174,8 @@ class AntitopoEngine(Engine):
                 prune_cand=c.prune_cand,
                 seed=c.seed,
                 precision=c.precision,
+                builder=c.builder,
+                wave_size=c.wave_size,
             )
             self.graph = build_index(x, bc)
             if c.write_index and c.index_filename:
@@ -171,19 +183,44 @@ class AntitopoEngine(Engine):
 
                 save_index(c.index_filename, self.graph, {"dim": self.dim})
         if c.use_compression and self.graph.codes is None:
+            self._attach_codes()
+        # reset stats before queries (src/antitopo_engine.h:488-492)
+        self.num_distcomps = 0
+        self.num_distcomps_compressed = 0
+
+    def _attach_codes(self) -> None:
+        """Quantize the corpus per cfg.quant_mode (reference: build-time
+        quant->build call, src/antitopo_engine.h:485-486)."""
+        import jax.numpy as _jnp
+
+        if self.cfg.quant_mode == "ranged":
+            from expann_tpu.ops.quantize import (
+                quantize_ranged,
+                ranged_scale_offset,
+            )
+
+            real = np.asarray(self.graph.vectors[: self.n, : self.dim])
+            scale, offset = ranged_scale_offset(real)
+            codes, code_norms = quantize_ranged(self.graph.vectors, scale, offset)
+            self.graph = dataclasses.replace(
+                self.graph,
+                codes=codes,
+                code_norms=code_norms,
+                quant_scale=_jnp.float32(scale),
+                quant_offset=_jnp.float32(offset),
+            )
+        else:
             codes, code_norms = quantize_simple(self.graph.vectors)
             self.graph = dataclasses.replace(
                 self.graph, codes=codes, code_norms=code_norms
             )
-        # reset stats before queries (src/antitopo_engine.h:488-492)
-        self.num_distcomps = 0
-        self.num_distcomps_compressed = 0
 
     # --- query -------------------------------------------------------------
     def set_ef_search(self, ef_search: int) -> None:
         self.cfg.ef_search = int(ef_search)
         self.num_distcomps = 0
         self.num_distcomps_compressed = 0
+        self.total_query_time_ns = 0.0
 
     def _ef(self, k: int) -> int:
         if self.cfg.ef_search is not None:
@@ -191,7 +228,10 @@ class AntitopoEngine(Engine):
         return max(k * self.cfg.ef_search_mult, k)
 
     def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
+        import time as _time
+
         assert self.graph is not None, "build() must be called before queries"
+        t_begin = _time.perf_counter_ns()
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim != 2:
             raise ValueError("queries must be 2D")
@@ -224,6 +264,7 @@ class AntitopoEngine(Engine):
                 compressed=bool(
                     self.cfg.use_compression and self.graph.codes is not None
                 ),
+                expand=self.cfg.query_expand,
             )
             ids = np.asarray(ids)[:real]
             if self.cfg.use_compression:
@@ -231,6 +272,7 @@ class AntitopoEngine(Engine):
             else:
                 self.num_distcomps += int(ncomp)
             out.append(ids)
+        self.total_query_time_ns += _time.perf_counter_ns() - t_begin
         return np.concatenate(out, axis=0)
 
     def query_k(self, v: np.ndarray, k: int) -> List[int]:

@@ -13,19 +13,22 @@ acceptance test is recall/QPS parity, not graph isomorphism):
      floor(-ln U / ln M), src/antitopo_engine.h:323) — layer membership,
      max_layer and the starting vertex are then known in advance,
   2. per layer, generate candidates by *exact* batched k-NN among the
-     layer's members (a streamed (W, n_l) MXU matmul with a running top-C
-     merge) — a strictly better candidate set than the reference's
-     approximate ef_construction beam search,
-  3. run the batched anti-topo prune (models/prune.py) over all members,
+     layer's members — one jitted scan of (row_block x col_block) MXU tiles
+     with a running top-C merge, entirely device-resident (a strictly
+     better candidate set than the reference's approximate beam search),
+  3. run the batched anti-topo prune (models/prune.py) over all members as
+     one ``lax.map`` over node chunks (one dispatch, bounded memory),
   4. a single reverse pass adds back-edges (skipping ones already present,
      mirroring the edge_exists check at src/antitopo_engine.h:442-450):
      nodes that stay within the edge cap keep append order (the lazy branch
      of prune_edges, :270-273), overflowing nodes are re-pruned over the
      union of their forward and incoming edges.
 
-This build is O(n_l^2) distance work per layer, which one MXU chews through
-for corpora up to a few million vectors; the incremental wave builder (for
-larger corpora) ships separately.
+Everything between host entry and the final adjacency download runs in a
+handful of device dispatches — important on hosts where each dispatch pays
+tunnel latency.  This build is O(n_l^2) distance work per layer, which one
+MXU chews through for corpora up to a few million vectors; the incremental
+wave builder (models/wavebuild.py) covers larger corpora.
 """
 
 from __future__ import annotations
@@ -72,116 +75,213 @@ def draw_levels(n: int, M: int, seed: int = 0) -> Tuple[np.ndarray, int, int]:
     return levels, max_layer, sv
 
 
-@functools.partial(jax.jit, static_argnames=("C", "precision"))
-def _block_topk_merge(run_d, run_i, qv, qn, xv, xn, col_ids, self_ids, C: int, precision: str):
-    """Score one column block against a row block and merge into the running
-    top-C (sorted lexicographically by (d, id) to reproduce the reference's
-    set-ordering tie-break)."""
-    d2 = pairwise_dist2(qv, xv, x_norms=xn, q_norms=qn, precision=precision)
-    d2 = jnp.where(col_ids[None, :] == self_ids[:, None], INF, d2)
-    # top-C of the block first (top_k breaks ties by lower index, i.e.
-    # ascending id within the block), then a short sorted merge with the
-    # running list — avoids sorting the full block width.
-    kk = min(C, d2.shape[1])
-    neg_d, idx = jax.lax.top_k(-d2, kk)
-    blk_d = -neg_d
-    blk_i = col_ids[idx]
-    all_d = jnp.concatenate([run_d, blk_d], axis=1)
-    all_i = jnp.concatenate([run_i, blk_i], axis=1)
-    all_d, all_i = jax.lax.sort((all_d, all_i), num_keys=2)
-    return all_d[:, :C], all_i[:, :C]
-
-
-def exact_knn(
-    vecs: jax.Array,
-    norms: jax.Array,
+@functools.partial(
+    jax.jit, static_argnames=("C", "row_block", "col_block", "precision")
+)
+def exact_knn_device(
+    vecs: jax.Array,  # (n_pad, D), rows padded with +inf-norm sentinels
+    norms: jax.Array,  # (n_pad,)
     C: int,
-    row_block: int = 2048,
-    col_block: int = 32768,
-    precision: str = "highest",
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact C-nearest-neighbours of every row of ``vecs`` against all rows
-    (self excluded), streamed in (row_block x col_block) MXU tiles.
+    row_block: int,
+    col_block: int,
+    precision: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact C-nearest-neighbours of every row against all rows (self
+    excluded), as ONE device program: a scan over row blocks, each running
+    a fori over column blocks of MXU matmul + top-C + sorted merge.
 
-    Returns host arrays ``(ids, d)`` of shape ``(n, C)`` sorted by (d, id);
-    padding (when C >= n) is sentinel n / +inf.
+    ``n_pad`` must be a multiple of both row_block and col_block; padding
+    rows carry +inf norms so they never rank.  Ties break by ascending id
+    (lexicographic (d, id)), matching the reference's std::set ordering.
+    Returns device arrays ``(ids, d)`` of shape ``(n_pad, C)``.
     """
-    n = vecs.shape[0]
-    ids_out = np.empty((n, C), np.int32)
-    d_out = np.empty((n, C), np.float32)
-    for r0 in range(0, n, row_block):
-        r1 = min(r0 + row_block, n)
-        qv = vecs[r0:r1]
-        qn = norms[r0:r1]
-        self_ids = jnp.arange(r0, r1, dtype=jnp.int32)
-        run_d = jnp.full((r1 - r0, C), INF, jnp.float32)
-        run_i = jnp.full((r1 - r0, C), n, jnp.int32)
-        for c0 in range(0, n, col_block):
-            c1 = min(c0 + col_block, n)
-            col_ids = jnp.arange(c0, c1, dtype=jnp.int32)
-            run_d, run_i = _block_topk_merge(
-                run_d,
-                run_i,
-                qv,
-                qn,
-                vecs[c0:c1],
-                norms[c0:c1],
-                col_ids,
-                self_ids,
-                C=C,
-                precision=precision,
+    n_pad, D = vecs.shape
+    n_row_chunks = n_pad // row_block
+    n_col_chunks = n_pad // col_block
+
+    q_chunks = vecs.reshape(n_row_chunks, row_block, D)
+    qn_chunks = norms.reshape(n_row_chunks, row_block)
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_row_chunks, row_block)
+
+    kk = min(C, col_block)
+
+    def row_step(_, chunk):
+        qv, qn, rids = chunk
+        run_d = jnp.full((row_block, C), INF, jnp.float32)
+        run_i = jnp.full((row_block, C), n_pad, jnp.int32)
+
+        def col_step(c, carry):
+            run_d, run_i = carry
+            xv = jax.lax.dynamic_slice(
+                vecs, (c * col_block, 0), (col_block, D)
             )
-        d_out[r0:r1] = np.asarray(run_d)
-        ids_out[r0:r1] = np.asarray(run_i)
-    return ids_out, d_out
+            xn = jax.lax.dynamic_slice(norms, (c * col_block,), (col_block,))
+            d2 = pairwise_dist2(qv, xv, x_norms=xn, q_norms=qn, precision=precision)
+            col_ids = c * col_block + jax.lax.broadcasted_iota(
+                jnp.int32, (1, col_block), 1
+            )
+            d2 = jnp.where(col_ids == rids[:, None], INF, d2)
+            neg_d, idx = jax.lax.top_k(-d2, kk)
+            blk_d = -neg_d
+            blk_i = jnp.take_along_axis(
+                jnp.broadcast_to(col_ids, d2.shape), idx, axis=1
+            )
+            all_d = jnp.concatenate([run_d, blk_d], axis=1)
+            all_i = jnp.concatenate([run_i, blk_i], axis=1)
+            all_d, all_i = jax.lax.sort((all_d, all_i), num_keys=2)
+            return all_d[:, :C], all_i[:, :C]
+
+        run_d, run_i = jax.lax.fori_loop(0, n_col_chunks, col_step, (run_d, run_i))
+        return None, (run_d, run_i)
+
+    _, (d_out, i_out) = jax.lax.scan(
+        row_step, None, (q_chunks, qn_chunks, row_ids)
+    )
+    return i_out.reshape(n_pad, C), d_out.reshape(n_pad, C)
 
 
-@functools.partial(jax.jit, static_argnames=("A",))
-def _incoming_edges(sel_ids, sel_d, n: jax.Array, A: int, sentinel: int):
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap", "prune_overflow", "prune_block", "precision"),
+)
+def prune_all_device(
+    vec_s: jax.Array,  # (n_pad + 1, D) corpus with sentinel row
+    norm_s: jax.Array,
+    cand_ids: jax.Array,  # (n_pad, C) sorted by (d, id)
+    cand_d: jax.Array,
+    cap: int,
+    ortho_factor,
+    ortho_bias,
+    prune_overflow: int,
+    prune_block: int,
+    precision: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Anti-topo prune of every node's candidate list as one ``lax.map``
+    over fixed-size node chunks (bounded co-distance memory, one dispatch)."""
+    n_pad, C = cand_ids.shape
+    sentinel = vec_s.shape[0] - 1
+    n_chunks = n_pad // prune_block
+    ids_c = cand_ids.reshape(n_chunks, prune_block, C)
+    d_c = cand_d.reshape(n_chunks, prune_block, C)
+
+    def body(chunk):
+        cid, cd = chunk
+        cid = jnp.minimum(cid, sentinel)
+        cvec = vec_s[cid]
+        cnorm = jnp.where(jnp.isfinite(cd), norm_s[cid], INF)
+        co = pairwise_co_dist(cvec, cnorm, precision)
+        return antitopo_prune(
+            cid, cd, co,
+            cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+            prune_overflow=prune_overflow, sentinel=sentinel,
+        )
+
+    sel_ids, sel_d = jax.lax.map(body, (ids_c, d_c))
+    return sel_ids.reshape(n_pad, cap), sel_d.reshape(n_pad, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("A", "chunk_rows"))
+def _incoming_edges(sel_ids, sel_d, A: int, sentinel: int, chunk_rows: int = 8192):
     """Group the forward edge list by destination: returns per-node incoming
-    (src, d) lists of width A, closest-first (the one-shot analogue of the
-    reference's sequential reverse-edge appends,
-    src/antitopo_engine.h:441-455)."""
+    (src, d) lists of width A (the one-shot analogue of the reference's
+    sequential reverse-edge appends, src/antitopo_engine.h:441-455).
+
+    Runs as a scan over source-row chunks, each sorting ~chunk_rows*cap
+    edges by (dst, d) and appending into the running incoming lists at
+    position count[dst] — a single global sort of the whole N*cap edge list
+    chokes the compiler, and chunk-sequential append order reproduces the
+    reference's *insert-order* reverse appends anyway."""
     W, cap = sel_ids.shape
-    src = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.int32)[:, None], (W, cap)
-    ).reshape(-1)
-    dst = sel_ids.reshape(-1)
-    d = sel_d.reshape(-1)
-    dst = jnp.where(jnp.isfinite(d), dst, sentinel)
-    dst_s, d_s, src_s = jax.lax.sort((dst, d, src), num_keys=3)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), dst_s[1:] != dst_s[:-1]]
+    W_pad = ((W + chunk_rows - 1) // chunk_rows) * chunk_rows
+    pad = W_pad - W
+    ids_p = jnp.pad(sel_ids, ((0, pad), (0, 0)), constant_values=sentinel)
+    d_p = jnp.pad(sel_d, ((0, pad), (0, 0)), constant_values=INF)
+    n_chunks = W_pad // chunk_rows
+    ids_c = ids_p.reshape(n_chunks, chunk_rows, cap)
+    d_c = d_p.reshape(n_chunks, chunk_rows, cap)
+    offsets = (
+        jnp.arange(n_chunks, dtype=jnp.int32) * chunk_rows
     )
-    idx = jnp.arange(dst_s.shape[0], dtype=jnp.int32)
-    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    pos = idx - group_start
-    ok = (dst_s != sentinel) & (pos < A)
-    scatter_rows = jnp.where(ok, dst_s, sentinel)
-    inc_src = jnp.full((W + 1, A), sentinel, jnp.int32)
-    inc_d = jnp.full((W + 1, A), INF, jnp.float32)
-    inc_src = inc_src.at[scatter_rows, jnp.minimum(pos, A - 1)].set(
-        jnp.where(ok, src_s, sentinel), mode="drop"
-    )
-    inc_d = inc_d.at[scatter_rows, jnp.minimum(pos, A - 1)].set(
-        jnp.where(ok, d_s, INF), mode="drop"
+
+    inc_src0 = jnp.full((W + 1, A), sentinel, jnp.int32)
+    inc_d0 = jnp.full((W + 1, A), INF, jnp.float32)
+    cnt0 = jnp.zeros((W + 1,), jnp.int32)
+
+    def chunk_step(carry, chunk):
+        inc_src, inc_d, cnt = carry
+        s_ids, s_d, off = chunk
+        src = off + jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, cap), 0)
+        src = src.reshape(-1)
+        dst = jnp.minimum(s_ids.reshape(-1), sentinel)
+        d = s_d.reshape(-1)
+        dst = jnp.where(jnp.isfinite(d), dst, sentinel)
+        dst_s, d_s, src_s = jax.lax.sort((dst, d, src), num_keys=3)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), dst_s[1:] != dst_s[:-1]]
+        )
+        idx = jnp.arange(dst_s.shape[0], dtype=jnp.int32)
+        group_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(first, idx, 0)
+        )
+        pos = idx - group_start
+        write_pos = cnt[dst_s] + pos
+        ok = (dst_s != sentinel) & (write_pos < A)
+        rows = jnp.where(ok, dst_s, W + 1)  # out of bounds -> dropped
+        cols = jnp.minimum(write_pos, A - 1)
+        inc_src = inc_src.at[rows, cols].set(src_s, mode="drop")
+        inc_d = inc_d.at[rows, cols].set(d_s, mode="drop")
+        cnt = cnt.at[rows].add(jnp.where(ok, 1, 0), mode="drop")
+        return (inc_src, inc_d, cnt), None
+
+    (inc_src, inc_d, _), _ = jax.lax.scan(
+        chunk_step, (inc_src0, inc_d0, cnt0), (ids_c, d_c, offsets)
     )
     return inc_src[:W], inc_d[:W]
 
 
-@jax.jit
-def _merge_lazy(sel_ids, sel_d, inc_src, inc_d):
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _merge_lazy(sel_ids, sel_d, inc_src, inc_d, chunk: int = 512):
     """Append incoming edges after forward edges (the reference's lazy
     prune branch keeps plain append order, src/antitopo_engine.h:270-273),
     dropping incoming edges already present in the forward list (the
-    edge_exists check, :442-450).  Returns (ids, d, total_count)."""
-    dup = (inc_src[:, :, None] == sel_ids[:, None, :]).any(-1)
-    inc_d = jnp.where(dup, INF, inc_d)
-    inc_src_m = jnp.where(dup, sel_ids.shape[0], inc_src)
-    ids = jnp.concatenate([sel_ids, inc_src_m], axis=1)
-    d = jnp.concatenate([sel_d, inc_d], axis=1)
-    count = jnp.sum(jnp.isfinite(d), axis=1)
-    return ids, d, count
+    edge_exists check, :442-450).  Chunked so the (rows, A, cap) dup mask
+    stays small.  Returns (ids, d, total_count)."""
+    W = sel_ids.shape[0]
+    sentinel_rows = W  # dup-marked entries also get d=INF, which governs
+
+    def body(args):
+        s_ids, s_d, i_src, i_d = args
+        dup = (i_src[:, :, None] == s_ids[:, None, :]).any(-1)
+        i_d = jnp.where(dup, INF, i_d)
+        i_src = jnp.where(dup, sentinel_rows, i_src)
+        ids = jnp.concatenate([s_ids, i_src], axis=1)
+        d = jnp.concatenate([s_d, i_d], axis=1)
+        count = jnp.sum(jnp.isfinite(d), axis=1)
+        return ids, d, count
+
+    if W <= chunk:
+        return body((sel_ids, sel_d, inc_src, inc_d))
+    W_pad = ((W + chunk - 1) // chunk) * chunk
+    pad = W_pad - W
+
+    def padded(a, fill):
+        return jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
+
+    C2 = sel_ids.shape[1] + inc_src.shape[1]
+    ids, d, count = jax.lax.map(
+        body,
+        (
+            padded(sel_ids, sentinel_rows).reshape(-1, chunk, sel_ids.shape[1]),
+            padded(sel_d, INF).reshape(-1, chunk, sel_d.shape[1]),
+            padded(inc_src, sentinel_rows).reshape(-1, chunk, inc_src.shape[1]),
+            padded(inc_d, INF).reshape(-1, chunk, inc_d.shape[1]),
+        ),
+    )
+    return (
+        ids.reshape(W_pad, C2)[:W],
+        d.reshape(W_pad, C2)[:W],
+        count.reshape(W_pad)[:W],
+    )
 
 
 def _compact_rows_vec(ids: np.ndarray, d: np.ndarray, width: int, sentinel: int):
@@ -211,8 +311,13 @@ class BuildConfig:
     seed: int = 0
     precision: str = "highest"
     row_block: int = 2048
-    col_block: int = 32768
+    col_block: int = 8192
     prune_block: int = 256
+    # builder selection: "oneshot" (exact O(N^2) candidates), "wave"
+    # (incremental wave inserts, models/wavebuild.py), or "auto"
+    builder: str = "auto"
+    wave_size: int = 1024
+    auto_wave_threshold: int = 131072
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -235,56 +340,63 @@ def _build_layer(
     n = member_vecs.shape[0]
     sentinel = n
     C = min(cfg.prune_cand, max(n - 1, 1))
-    knn_ids, knn_d = exact_knn(
-        member_vecs,
-        member_norms,
-        C,
-        row_block=cfg.row_block,
-        col_block=cfg.col_block,
+
+    # pad rows/cols to block multiples with +inf-norm sentinel rows so the
+    # kNN scan is one fixed-shape device program; block sizes are chosen so
+    # both divide the padded size (cfg blocks are powers of two)
+    if n <= cfg.row_block:
+        n_pad = _round_up(n, 8)
+        row_block = col_block = n_pad
+    elif n <= cfg.col_block:
+        n_pad = _round_up(n, cfg.row_block)
+        row_block = cfg.row_block
+        col_block = n_pad
+    else:
+        n_pad = _round_up(n, cfg.col_block)
+        row_block = cfg.row_block
+        col_block = cfg.col_block
+    pad = n_pad - n
+    vecs_p = jnp.concatenate(
+        [member_vecs, jnp.zeros((pad, member_vecs.shape[1]), jnp.float32)], 0
+    )
+    norms_p = jnp.concatenate(
+        [member_norms, jnp.full((pad,), INF, jnp.float32)], 0
+    )
+    knn_ids, knn_d = exact_knn_device(
+        vecs_p, norms_p, C=C, row_block=row_block, col_block=col_block,
         precision=cfg.precision,
     )
 
-    # Corpus with sentinel row for gathers during prune.
+    # Corpus with sentinel row for gathers during prune (padded ids >= n all
+    # collapse onto the sentinel row).
     vec_s = jnp.concatenate(
         [member_vecs, jnp.zeros((1, member_vecs.shape[1]), jnp.float32)], 0
     )
     norm_s = jnp.concatenate([member_norms, jnp.array([INF], jnp.float32)], 0)
 
-    # --- forward prune, chunked over nodes ---
-    sel_ids = np.full((n, cap), sentinel, np.int32)
-    sel_d = np.full((n, cap), np.inf, np.float32)
-    pb = cfg.prune_block
-    for r0 in range(0, n, pb):
-        r1 = min(r0 + pb, n)
-        cid = jnp.asarray(knn_ids[r0:r1])
-        cd = jnp.asarray(knn_d[r0:r1])
-        cvec = vec_s[cid]
-        cnorm = jnp.where(jnp.isfinite(cd), norm_s[cid], INF)
-        co = pairwise_co_dist(cvec, cnorm, cfg.precision)
-        s_ids, s_d = antitopo_prune(
-            cid,
-            cd,
-            co,
-            cap=cap,
-            ortho_factor=cfg.ortho_factor,
-            ortho_bias=cfg.ortho_bias,
-            prune_overflow=cfg.prune_overflow,
-            sentinel=sentinel,
-        )
-        sel_ids[r0:r1] = np.asarray(s_ids)
-        sel_d[r0:r1] = np.asarray(s_d)
+    # --- forward prune (one dispatch) ---
+    pb = min(cfg.prune_block, n_pad)
+    while n_pad % pb != 0:
+        pb //= 2
+    sel_ids_j, sel_d_j = prune_all_device(
+        vec_s, norm_s,
+        jnp.minimum(knn_ids, sentinel), knn_d,
+        cap=cap, ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+        prune_overflow=cfg.prune_overflow, prune_block=pb,
+        precision=cfg.precision,
+    )
+    sel_ids_j = sel_ids_j[:n]
+    sel_d_j = sel_d_j[:n]
 
     # --- reverse pass ---
     A = min(2 * cap, 4096)
-    inc_src, inc_d = _incoming_edges(
-        jnp.asarray(sel_ids), jnp.asarray(sel_d), n, A=A, sentinel=sentinel
+    inc_src, inc_d = _incoming_edges(sel_ids_j, sel_d_j, A=A, sentinel=sentinel)
+    merged_ids_j, merged_d_j, count_j = _merge_lazy(
+        sel_ids_j, sel_d_j, inc_src, inc_d
     )
-    merged_ids, merged_d, count = _merge_lazy(
-        jnp.asarray(sel_ids), jnp.asarray(sel_d), inc_src, inc_d
-    )
-    merged_ids = np.asarray(merged_ids)
-    merged_d = np.asarray(merged_d)
-    count = np.asarray(count)
+    merged_ids = np.asarray(merged_ids_j)
+    merged_d = np.asarray(merged_d_j)
+    count = np.asarray(count_j)
 
     R = _round_up(cap, 16)
     adj = np.full((n, R), sentinel, np.int32)
@@ -300,57 +412,42 @@ def _build_layer(
     # Overflowing nodes: full anti-topo prune over the (d, id)-sorted union.
     over_rows = np.nonzero(~lazy_mask)[0]
     if over_rows.size:
-        for r0 in range(0, over_rows.size, pb):
-            rows = over_rows[r0 : r0 + pb]
-            # sort each row's union by (d, id) — prune_edges sorts before
-            # selecting (src/antitopo_engine.h:275-276)
-            cd_j = jnp.asarray(merged_d[rows])
-            cid_j = jnp.asarray(merged_ids[rows])
-            cd_j, cid_j = jax.lax.sort((cd_j, cid_j), num_keys=2)
-            cvec = vec_s[cid_j]
-            cnorm = jnp.where(jnp.isfinite(cd_j), norm_s[cid_j], INF)
-            co = pairwise_co_dist(cvec, cnorm, cfg.precision)
-            s_ids, s_d = antitopo_prune(
-                cid_j,
-                cd_j,
-                co,
-                cap=cap,
-                ortho_factor=cfg.ortho_factor,
-                ortho_bias=cfg.ortho_bias,
-                prune_overflow=cfg.prune_overflow,
-                sentinel=sentinel,
-            )
-            s_ids_np = np.asarray(s_ids)
-            s_d_np = np.asarray(s_d)
-            block = np.full((rows.size, R), sentinel, np.int32)
-            block[:, :cap] = s_ids_np
-            adj[rows] = block
+        pb2 = 256
+        padded = _round_up(over_rows.size, pb2)
+        rows_pad = np.concatenate(
+            [over_rows, np.zeros(padded - over_rows.size, np.int64)]
+        )
+        cd_j = jnp.asarray(merged_d[rows_pad])
+        cid_j = jnp.asarray(merged_ids[rows_pad])
+        # sort each row's union by (d, id) — prune_edges sorts before
+        # selecting (src/antitopo_engine.h:275-276)
+        cd_j, cid_j = jax.lax.sort((cd_j, cid_j), num_keys=2)
+        s_ids, _ = prune_all_device(
+            vec_s, norm_s, cid_j, cd_j,
+            cap=cap, ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow, prune_block=pb2,
+            precision=cfg.precision,
+        )
+        s_ids_np = np.asarray(s_ids)[: over_rows.size]
+        block = np.full((over_rows.size, R), sentinel, np.int32)
+        block[:, :cap] = s_ids_np
+        adj[over_rows] = block
 
     return adj
 
 
-def build_index(
-    x: np.ndarray,
-    cfg: Optional[BuildConfig] = None,
-) -> GraphIndex:
-    """Build a GraphIndex over corpus ``x`` (host ``(N, D)`` float array)."""
-    cfg = cfg or BuildConfig()
-    x = np.asarray(x, dtype=np.float32)
-    n = x.shape[0]
-    assert n > 0
-
-    vectors, norms = make_corpus(x)
+def build_upper_layers(
+    vectors: jax.Array,
+    norms: jax.Array,
+    levels: np.ndarray,
+    max_layer: int,
+    cfg: BuildConfig,
+) -> Tuple[UpperLayer, ...]:
+    """Build the compact upper HNSW layers (1 .. max_layer - 1) over the
+    level-draw member sets.  Layer populations shrink geometrically
+    (expected n / M^layer), so each is a small one-shot exact-kNN + prune."""
+    n = vectors.shape[0] - 1
     sentinel = n
-
-    levels, max_layer, sv = draw_levels(n, cfg.M, cfg.seed)
-
-    # ---- bottom layer over all nodes ----
-    adj0_local = _build_layer(vectors[:n], norms[:n], cap=cfg.M0, cfg=cfg)
-    R0 = adj0_local.shape[1]
-    adj_bottom = np.full((n + 1, R0), sentinel, np.int32)
-    adj_bottom[:n] = np.where(adj0_local == n, sentinel, adj0_local)
-
-    # ---- upper layers (1 .. max_layer - 1) ----
     upper: List[UpperLayer] = []
     for layer in range(1, max_layer):
         members = np.nonzero(levels >= layer)[0].astype(np.int32)
@@ -370,6 +467,42 @@ def build_index(
         upper.append(
             UpperLayer(slot=jnp.asarray(slot), adj=jnp.asarray(adj_global))
         )
+    return tuple(upper)
+
+
+def build_index(
+    x: np.ndarray,
+    cfg: Optional[BuildConfig] = None,
+) -> GraphIndex:
+    """Build a GraphIndex over corpus ``x`` (host ``(N, D)`` float array).
+
+    Dispatches between the one-shot exact-candidate builder (below) and the
+    incremental wave builder (models/wavebuild.py) per ``cfg.builder``.
+    """
+    cfg = cfg or BuildConfig()
+    x = np.asarray(x, dtype=np.float32)
+    n = x.shape[0]
+    assert n > 0
+
+    if cfg.builder == "wave" or (
+        cfg.builder == "auto" and n > cfg.auto_wave_threshold
+    ):
+        from expann_tpu.models.wavebuild import build_index_wave
+
+        return build_index_wave(x, cfg, wave_size=cfg.wave_size)
+
+    vectors, norms = make_corpus(x)
+    sentinel = n
+
+    levels, max_layer, sv = draw_levels(n, cfg.M, cfg.seed)
+
+    # ---- bottom layer over all nodes ----
+    adj0_local = _build_layer(vectors[:n], norms[:n], cap=cfg.M0, cfg=cfg)
+    R0 = adj0_local.shape[1]
+    adj_bottom = np.full((n + 1, R0), sentinel, np.int32)
+    adj_bottom[:n] = np.where(adj0_local == n, sentinel, adj0_local)
+
+    upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
 
     return GraphIndex(
         vectors=vectors,

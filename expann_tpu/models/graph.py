@@ -62,6 +62,9 @@ class GraphIndex:
     starting_vertex: jax.Array  # () int32
     codes: Optional[jax.Array] = None  # (N + 1, D_pad) uint8 quantized corpus
     code_norms: Optional[jax.Array] = None  # (N + 1,) f32 norms of codes
+    # affine quantization params (ranged-q8 mode); None => plain cast codes
+    quant_scale: Optional[jax.Array] = None  # () f32
+    quant_offset: Optional[jax.Array] = None  # () f32
 
     @property
     def n(self) -> int:
@@ -80,6 +83,8 @@ class GraphIndex:
             self.starting_vertex,
             self.codes,
             self.code_norms,
+            self.quant_scale,
+            self.quant_offset,
         )
         return children, None
 

@@ -98,6 +98,7 @@ def beam_search(
     max_iters: int,
     sentinel: int,
     precision: str = "highest",
+    expand: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched best-first beam search on one graph layer.
 
@@ -144,40 +145,58 @@ def beam_search(
     done0 = jnp.isnan(beam_d[:, 0])  # all False, but data-dependent
     it0 = jnp.int32(0) + beam_ids[0, 0] * 0
 
+    E = max(1, min(expand, ef))
+
     def body(state):
         beam_ids, beam_d, beam_exp, done, it, ncomp = state
         masked = jnp.where(beam_exp, INF, beam_d)
-        best_pos = jnp.argmin(masked, axis=-1)  # (B,)
-        best_d = jnp.take_along_axis(masked, best_pos[:, None], axis=-1)[:, 0]
+        if E == 1:
+            best_pos = jnp.argmin(masked, axis=-1)[:, None]  # (B, 1)
+        else:
+            # Speculative multi-expansion: take the E best unexpanded
+            # entries per iteration.  Termination is still decided by the
+            # best one alone (reference semantics); the extra expansions
+            # are work the sequential algorithm may or may not have done,
+            # traded for E-fold fewer serialized gather round-trips.
+            _, best_pos = jax.lax.top_k(-masked, E)  # (B, E)
+        sel_d = jnp.take_along_axis(masked, best_pos, axis=-1)  # (B, E)
+        best_d = sel_d[:, 0]
         worst = beam_d[:, -1]
         # Reference break: cur > worst(nearest) with nearest full
         # (src/antitopo_engine.h:588-590); best_d == INF means nothing left
         # to expand.  INF-padded (not yet full) beams have worst == INF and
         # keep going, matching `nearest.size() == k`.
         done = done | (best_d > worst) | jnp.isinf(best_d)
+        valid_sel = jnp.isfinite(sel_d) & ~done[:, None]  # (B, E)
         sel = jnp.where(
-            done,
+            valid_sel,
+            jnp.take_along_axis(beam_ids, best_pos, axis=-1),
             jnp.int32(sentinel),
-            jnp.take_along_axis(beam_ids, best_pos[:, None], axis=-1)[:, 0],
         )
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, beam_exp.shape, 1)
-            == best_pos[:, None]
+            jax.lax.broadcasted_iota(jnp.int32, (B, E, beam_exp.shape[1]), 2)
+            == best_pos[:, :, None]
         )
-        beam_exp = beam_exp | (onehot & ~done[:, None])
+        beam_exp = beam_exp | (onehot & valid_sel[:, :, None]).any(axis=1)
 
-        nbrs = adj[sel]  # (B, R); row `sentinel` is all-sentinel
+        nbrs = adj[sel].reshape(B, E * R)  # rows `sentinel` are all-sentinel
         nd = _gather_dist2(data, data_norms, nbrs, q, qn, precision)
         ncomp = ncomp + jnp.sum(
-            jnp.where(done, 0, jnp.sum(nbrs != sentinel, axis=-1)).astype(ncomp.dtype)
+            jnp.sum(nbrs != sentinel, axis=-1).astype(ncomp.dtype)
         )
         dup = (nbrs[:, :, None] == beam_ids[:, None, :]).any(-1)
+        if E > 1:
+            # dedup within the gathered block (two expanded vertices may
+            # share a neighbour): keep only the first occurrence.
+            same = nbrs[:, :, None] == nbrs[:, None, :]
+            earlier = jnp.tril(jnp.ones((E * R, E * R), bool), k=-1)[None]
+            dup = dup | (same & earlier).any(-1)
         nd = jnp.where(dup, INF, nd)
 
         all_d = jnp.concatenate([beam_d, nd], axis=1)
         all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         all_exp = jnp.concatenate(
-            [beam_exp, jnp.zeros((B, R), bool)], axis=1
+            [beam_exp, jnp.zeros((B, E * R), bool)], axis=1
         ).astype(jnp.int32)
         all_d, all_ids, all_exp = jax.lax.sort(
             (all_d, all_ids, all_exp), num_keys=1
@@ -208,7 +227,8 @@ def beam_search(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "max_iters", "precision", "compressed")
+    jax.jit,
+    static_argnames=("k", "ef", "max_iters", "precision", "compressed", "expand"),
 )
 def query_batch(
     graph: GraphIndex,
@@ -218,6 +238,7 @@ def query_batch(
     max_iters: int = 0,
     precision: str = "highest",
     compressed: bool = False,
+    expand: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full batched query: descend upper layers greedily from the starting
     vertex, beam-search the bottom layer, return ``(ids, dists, distcomps)``
@@ -257,10 +278,23 @@ def query_batch(
 
     if compressed:
         assert graph.codes is not None, "index was built without codes"
-        # Integer-truncate the query exactly like the reference's
-        # uint32_t(q[i]) swizzle load (src/antitopo_engine.h:726-737); the
-        # x86 lane swizzle itself is dropped as an architecture artifact.
-        qc = jnp.floor(q)
+        if graph.quant_scale is not None:
+            # ranged affine quantization: transform the query with the same
+            # scale/offset as the stored codes (the reference's unused
+            # quantizer_ranged_q8, src/quantizer.h:186-238, made live here);
+            # ranking by quantized distance needs no 1/scale^2 factor and
+            # the final rerank below is exact anyway.
+            qc = jnp.clip(
+                jnp.round(q * graph.quant_scale + graph.quant_offset),
+                0.0,
+                255.0,
+            )
+        else:
+            # Integer-truncate the query exactly like the reference's
+            # uint32_t(q[i]) swizzle load (src/antitopo_engine.h:726-737);
+            # the x86 lane swizzle itself is dropped as an architecture
+            # artifact.
+            qc = jnp.floor(q)
         qcn = squared_norms(qc)
         beam_ids, _, ncomp = beam_search(
             graph.codes,
@@ -273,6 +307,7 @@ def query_batch(
             max_iters=max_iters,
             sentinel=sentinel,
             precision=precision,
+            expand=expand,
         )
         # Exact f32 rerank of the final beam (src/antitopo_engine.h:845-848).
         beam_d = _gather_dist2(
@@ -291,5 +326,6 @@ def query_batch(
             max_iters=max_iters,
             sentinel=sentinel,
             precision=precision,
+            expand=expand,
         )
     return beam_ids[:, :k], beam_d[:, :k], ncomp

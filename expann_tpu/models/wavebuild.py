@@ -1,0 +1,313 @@
+"""Scalable incremental construction: wave-batched graph inserts.
+
+The reference inserts one vector at a time — beam-search the current graph
+for ef_construction candidates, anti-topo prune, append reverse edges with
+lazy pruning (reference: src/antitopo_engine.h:310-465).  That serial chain
+cannot use a lockstep machine; the one-shot builder (models/build.py) fixes
+this with exact all-pairs candidates but costs O(N^2) distance work.  This
+module is the scalable middle path (SURVEY.md section 7 step 4): process
+vectors in *waves* of W inserts against the already-built prefix, with the
+whole wave — candidate beam search, anti-topo prune, forward-edge scatter,
+reverse-edge grouping, and overflow re-prune — fused into ONE jitted,
+buffer-donating device dispatch (important on hosts where every dispatch
+pays tunnel latency).
+
+Design deviations from the reference, chosen for the hardware:
+  * wave members link only to the prefix, never to each other (the first
+    bootstrap block is built exactly with the one-shot builder instead),
+  * construction runs on the bottom layer only, Vamana-style, from a fixed
+    medoid entry point; the tiny upper HNSW layers (expected N/M^l members)
+    are built one-shot afterwards for query-time descent — during
+    construction a wide beam from a fixed entry reaches the same
+    neighbourhoods the hierarchy would shortcut to,
+  * the deferred lazy prune handles the (up to) ``overflow_rows`` fullest
+    destinations per wave inside the fused step; stragglers are caught by
+    later waves and a final sweep.  (The reference prunes each destination
+    immediately upon exceeding the cap, src/antitopo_engine.h:270-273 —
+    deferral to wave granularity is a controlled divergence; recall parity
+    is the gate.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from expann_tpu.models.build import (
+    BuildConfig,
+    _build_layer,
+    _round_up,
+    build_upper_layers,
+    draw_levels,
+)
+from expann_tpu.models.graph import GraphIndex, make_corpus
+from expann_tpu.models.prune import antitopo_prune, pairwise_co_dist
+from expann_tpu.models.search import beam_search, _gather_dist2
+from expann_tpu.ops.distance import squared_norms
+
+INF = jnp.inf
+
+
+def _write_forward(adj, counts, wave_ids, sel_ids, cap: int, sentinel: int):
+    """Scatter each wave node's pruned forward edges into its adjacency row."""
+    W = wave_ids.shape[0]
+    R = adj.shape[1]
+    row = jnp.full((W, R), sentinel, jnp.int32)
+    row = row.at[:, :cap].set(sel_ids)
+    safe = jnp.where(wave_ids == sentinel, adj.shape[0], wave_ids)
+    adj = adj.at[safe].set(row, mode="drop")
+    counts = counts.at[safe].set(
+        jnp.sum(sel_ids != sentinel, axis=1), mode="drop"
+    )
+    return adj, counts
+
+
+def _reverse_append(adj, counts, wave_ids, sel_ids, sel_d, sentinel: int):
+    """Append reverse edges (dst -> new wave node) into free adjacency slots.
+
+    One device sort groups the (dst, d, src) edge list by destination; each
+    edge's write position is counts[dst] + rank-within-group.  Edges that
+    would exceed the row width are dropped (they lost the per-wave closeness
+    race); counts are bumped by the number actually written.  Mirrors the
+    reference's per-insert appends (src/antitopo_engine.h:441-455).
+    """
+    W, cap = sel_ids.shape
+    R = adj.shape[1]
+    src = jnp.broadcast_to(wave_ids[:, None], (W, cap)).reshape(-1)
+    dst = sel_ids.reshape(-1)
+    d = sel_d.reshape(-1)
+    dst = jnp.where(jnp.isfinite(d) & (src != sentinel), dst, sentinel)
+    dst_s, d_s, src_s = jax.lax.sort((dst, d, src), num_keys=3)
+    first = jnp.concatenate([jnp.ones((1,), bool), dst_s[1:] != dst_s[:-1]])
+    idx = jnp.arange(dst_s.shape[0], dtype=jnp.int32)
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0)
+    )
+    pos = idx - group_start
+    write_pos = counts[dst_s] + pos
+    ok = (dst_s != sentinel) & (write_pos < R)
+    oob = adj.shape[0]
+    rows = jnp.where(ok, dst_s, oob)
+    adj = adj.at[rows, jnp.minimum(write_pos, R - 1)].set(src_s, mode="drop")
+    counts = counts.at[rows].add(jnp.where(ok, 1, 0), mode="drop")
+    return adj, counts
+
+
+def _overflow_prune(
+    vectors, norms, adj, counts, rows,
+    cap: int, ortho_factor, ortho_bias, prune_overflow: int,
+    sentinel: int, precision: str,
+):
+    """Re-prune a padded batch of rows over their full current edge lists
+    (the deferred lazy-prune, reference src/antitopo_engine.h:270-307).
+    Rows equal to ``sentinel`` are padding and are dropped on write."""
+    safe_read = jnp.minimum(rows, sentinel)
+    cand_ids = adj[safe_read]  # (P, R)
+    q = vectors[safe_read]
+    qn = norms[safe_read]
+    cand_d = _gather_dist2(vectors, norms, cand_ids, q, qn, precision)
+    cand_d = jnp.where(cand_ids == sentinel, INF, cand_d)
+    cand_d, cand_ids = jax.lax.sort((cand_d, cand_ids), num_keys=2)
+    cvecs = vectors[cand_ids]
+    cnorms = jnp.where(jnp.isfinite(cand_d), norms[cand_ids], INF)
+    co = pairwise_co_dist(cvecs, cnorms, precision)
+    sel_ids, _ = antitopo_prune(
+        cand_ids, cand_d, co,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=sentinel,
+    )
+    R = adj.shape[1]
+    new_rows = jnp.full((rows.shape[0], R), sentinel, jnp.int32)
+    new_rows = new_rows.at[:, :cap].set(sel_ids)
+    safe_rows = jnp.where(rows >= sentinel, adj.shape[0], rows)
+    adj = adj.at[safe_rows].set(new_rows, mode="drop")
+    counts = counts.at[safe_rows].set(
+        jnp.sum(sel_ids != sentinel, axis=1), mode="drop"
+    )
+    return adj, counts
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2, 3),
+    static_argnames=(
+        "cap", "C", "ef_c", "max_iters", "prune_overflow", "overflow_rows",
+        "precision", "expand", "sentinel",
+    ),
+)
+def _wave_step(
+    vectors, norms, adj, counts, wave_ids, medoid,
+    cap: int, C: int, ef_c: int, max_iters: int,
+    ortho_factor, ortho_bias, prune_overflow: int,
+    overflow_rows: int, precision: str, expand: int, sentinel: int,
+):
+    """One fused wave insert: beam-search candidates against the prefix,
+    anti-topo prune, scatter forward + reverse edges, re-prune the fullest
+    destinations.  Single dispatch; adjacency and counts buffers donated."""
+    wq = vectors[jnp.minimum(wave_ids, sentinel)]
+    wqn = norms[jnp.minimum(wave_ids, sentinel)]
+    W = wave_ids.shape[0]
+
+    ep = jnp.broadcast_to(medoid, (W,)).astype(jnp.int32)[:, None]
+    cand_ids, cand_d, _ = beam_search(
+        vectors, norms, adj, wq, wqn, ep,
+        ef=ef_c, max_iters=max_iters, sentinel=sentinel,
+        precision=precision, expand=expand,
+    )
+    cand_ids = cand_ids[:, :C]
+    cand_d = cand_d[:, :C]
+
+    cvecs = vectors[cand_ids]
+    cnorms = jnp.where(jnp.isfinite(cand_d), norms[cand_ids], INF)
+    co = pairwise_co_dist(cvecs, cnorms, precision)
+    sel_ids, sel_d = antitopo_prune(
+        cand_ids, cand_d, co,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=sentinel,
+    )
+
+    adj, counts = _write_forward(adj, counts, wave_ids, sel_ids, cap, sentinel)
+    adj, counts = _reverse_append(adj, counts, wave_ids, sel_ids, sel_d, sentinel)
+
+    # deferred lazy prune: handle the `overflow_rows` fullest destinations
+    top_counts, rows = jax.lax.top_k(counts[:sentinel], overflow_rows)
+    rows = jnp.where(top_counts > cap, rows, sentinel)
+    adj, counts = _overflow_prune(
+        vectors, norms, adj, counts, rows,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=sentinel, precision=precision,
+    )
+    return adj, counts
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2, 3),
+    static_argnames=("cap", "prune_overflow", "precision"),
+)
+def _overflow_prune_jit(
+    vectors, norms, adj, counts, rows,
+    cap: int, ortho_factor, ortho_bias, prune_overflow: int,
+    sentinel: int, precision: str,
+):
+    return _overflow_prune(
+        vectors, norms, adj, counts, rows,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=sentinel, precision=precision,
+    )
+
+
+def build_index_wave(
+    x: np.ndarray,
+    cfg: Optional[BuildConfig] = None,
+    wave_size: int = 1024,
+    bootstrap: int = 2048,
+    slack: int = 64,
+    verbose: bool = False,
+) -> GraphIndex:
+    """Incremental wave-batched build; drop-in alternative to build_index
+    for corpora too large for O(N^2) candidate generation."""
+    cfg = cfg or BuildConfig()
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    assert n > 0
+    vectors, norms = make_corpus(x)
+    sentinel = n
+    cap = cfg.M0
+    R = _round_up(cap + slack, 16)
+    C = min(cfg.prune_cand, cfg.ef_construction)
+
+    levels, max_layer, _ = draw_levels(n, cfg.M, cfg.seed)
+
+    n0 = min(n, max(bootstrap, 2 * cap))
+    adj = jnp.full((n + 1, R), sentinel, jnp.int32)
+    counts = jnp.zeros((n + 1,), jnp.int32)
+
+    # ---- bootstrap prefix: exact one-shot bottom layer ----
+    boot = _build_layer(vectors[:n0], norms[:n0], cap=cap, cfg=cfg)
+    bootR = boot.shape[1]
+    boot_rows = np.full((n0, R), sentinel, np.int32)
+    boot_rows[:, :bootR] = np.where(boot == n0, sentinel, boot)
+    adj = adj.at[:n0].set(jnp.asarray(boot_rows))
+    counts = counts.at[:n0].set(
+        jnp.sum(jnp.asarray(boot_rows) != sentinel, axis=1)
+    )
+
+    # build entry point: medoid of the bootstrap block
+    mean = jnp.mean(vectors[:n0], axis=0, keepdims=True)
+    medoid = jnp.argmin(
+        _gather_dist2(
+            vectors, norms,
+            jnp.arange(n0, dtype=jnp.int32)[None, :],
+            mean, squared_norms(mean), cfg.precision,
+        )[0]
+    ).astype(jnp.int32)
+
+    ef_c = cfg.ef_construction
+    max_iters = 4 * ef_c + 32
+
+    # ---- waves: one fused dispatch each ----
+    i = n0
+    wave_idx = 0
+    while i < n:
+        W = min(wave_size, n - i)
+        ids_np = np.arange(i, i + W, dtype=np.int32)
+        if W < wave_size and i > n0:
+            ids_np = np.concatenate(
+                [ids_np, np.full(wave_size - W, sentinel, np.int32)]
+            )
+        adj, counts = _wave_step(
+            vectors, norms, adj, counts, jnp.asarray(ids_np), medoid,
+            cap=cap, C=C, ef_c=ef_c, max_iters=max_iters,
+            ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            overflow_rows=128, precision=cfg.precision, expand=4,
+            sentinel=sentinel,
+        )
+        if verbose and wave_idx % 32 == 0:
+            jax.block_until_ready(counts)
+            print(f"wave build: {i}/{n}", flush=True)
+        i += W
+        wave_idx += 1
+
+    # final sweep so every row obeys the cap, then compact the width
+    counts_np = np.asarray(counts[:n])
+    over = np.nonzero(counts_np > cap)[0].astype(np.int32)
+    P = 128
+    for r0 in range(0, over.size, P):
+        rows = over[r0 : r0 + P]
+        if rows.size < P:
+            rows = np.concatenate(
+                [rows, np.full(P - rows.size, sentinel, np.int32)]
+            )
+        adj, counts = _overflow_prune_jit(
+            vectors, norms, adj, counts, jnp.asarray(rows),
+            cap=cap, ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            sentinel=sentinel, precision=cfg.precision,
+        )
+
+    R0 = _round_up(cap, 16)
+    adj_bottom = np.asarray(adj)[:, :R0]
+
+    upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
+    # query entry: the top-layer member (reference raises starting_vertex
+    # as layers appear, src/antitopo_engine.h:459-462); fall back to the
+    # build medoid for flat graphs
+    if upper:
+        members = np.nonzero(levels >= max_layer - 1)[0]
+        sv = int(members[0]) if members.size else int(medoid)
+    else:
+        sv = int(medoid)
+
+    return GraphIndex(
+        vectors=vectors,
+        norms=norms,
+        adj_bottom=jnp.asarray(adj_bottom),
+        layers=upper,
+        starting_vertex=jnp.int32(sv),
+    )

@@ -9,6 +9,10 @@ environment is not enough — the config must be updated after import.
 
 import os
 
+# The persistent compile cache may hold remote-compiled CPU executables with
+# mismatched machine features (SIGILL risk) — disable it for CPU test runs.
+os.environ["EXPANN_TPU_NO_CACHE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -123,3 +123,23 @@ def test_param_list_schema():
         assert key in pl
     assert pl["M0"] == "120"
     assert pl["ortho_factor"] == "0.500000"
+
+
+def test_engine_ranged_quantization():
+    # Gaussian data (negative values) — the ranged affine quantizer must
+    # handle it where the cast quantizer clips (reference defines but never
+    # instantiates quantizer_ranged_q8; here it is a live option)
+    x, q = _synthetic(1500, 60, 32, seed=13)
+    k = 10
+    gt = _ground_truth(x, q, k)
+    eng = AntitopoEngine(
+        config=AntitopoConfig(
+            M=16, ef_construction=100, ef_search_mult=4,
+            use_compression=True, quant_mode="ranged",
+        )
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    ans = eng.query_k_batch(q, k)
+    rec = _recall(ans, gt)
+    assert rec >= 0.85, f"ranged-quant recall {rec} too low"

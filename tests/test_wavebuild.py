@@ -1,0 +1,81 @@
+"""Wave-batched incremental builder: recall gate vs exact ground truth and
+agreement with the one-shot builder's quality."""
+
+import numpy as np
+
+from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
+from expann_tpu.models.brute_force import BruteForceEngine
+from expann_tpu.models.build import BuildConfig, build_index
+from expann_tpu.models.search import query_batch
+from expann_tpu.models.wavebuild import build_index_wave
+
+import jax.numpy as jnp
+
+
+def _data(n, m, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((n, d)).astype(np.float32),
+        rng.standard_normal((m, d)).astype(np.float32),
+    )
+
+
+def _recall(ans, gt):
+    m, k = gt.shape
+    hits = 0
+    for q in range(m):
+        hits += len(set(int(v) for v in ans[q]) & set(int(v) for v in gt[q]))
+    return hits / (m * k)
+
+
+def _gt(x, q, k):
+    eng = BruteForceEngine()
+    eng.store_many_vectors(x)
+    eng.build()
+    return eng.query_k_batch(q, k)
+
+
+def test_wave_build_recall_parity_with_oneshot():
+    x, q = _data(4000, 80, 32)
+    k = 10
+    ef = 40
+    gt = _gt(x, q, k)
+    cfg = BuildConfig(M=12, ef_construction=80, prune_cand=64)
+
+    g_one = build_index(x, cfg)
+    ids_one, _, _ = query_batch(g_one, jnp.asarray(np.pad(q, ((0, 0), (0, 96)))), k=k, ef=ef)
+    rec_one = _recall(np.asarray(ids_one), gt)
+
+    g_wave = build_index_wave(x, cfg, wave_size=512, bootstrap=1024)
+    ids_wave, _, _ = query_batch(g_wave, jnp.asarray(np.pad(q, ((0, 0), (0, 96)))), k=k, ef=ef)
+    rec_wave = _recall(np.asarray(ids_wave), gt)
+
+    assert rec_wave >= 0.85, f"wave recall {rec_wave}"
+    assert rec_wave >= rec_one - 0.08, f"wave {rec_wave} vs oneshot {rec_one}"
+
+
+def test_wave_build_edge_caps_respected():
+    x, _ = _data(3000, 1, 16, seed=1)
+    cfg = BuildConfig(M=8, ef_construction=60, prune_cand=48)
+    g = build_index_wave(x, cfg, wave_size=512, bootstrap=512)
+    adj = np.asarray(g.adj_bottom)[:3000]
+    deg = (adj != 3000).sum(1)
+    assert deg.max() <= cfg.M0, f"max degree {deg.max()} exceeds M0={cfg.M0}"
+    # every real row should have at least one edge
+    assert deg.min() >= 1
+
+
+def test_wave_build_via_engine_builder_flag():
+    x, q = _data(2500, 40, 24, seed=2)
+    k = 5
+    gt = _gt(x, q, k)
+    eng = AntitopoEngine(
+        config=AntitopoConfig(
+            M=10, ef_construction=60, ef_search=30, builder="wave", wave_size=512
+        )
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    ans = eng.query_k_batch(q, k)
+    rec = _recall(ans, gt)
+    assert rec >= 0.85, f"engine wave recall {rec}"
