@@ -1,15 +1,20 @@
-"""Round benchmark: batched QPS at recall@10 >= 0.95 on the canonical
-synthetic config (n=56000, m=400, d=128, k=10 — the reference's
-config_synthetic.json), plus index build wall-clock.
+"""Round benchmark: recall@10 vs QPS on the canonical synthetic config
+(n=56000, m=400, d=128, k=10 — the reference's config_synthetic.json).
+
+Measures the engine suite and reports the best QPS among points with
+recall@10 >= 0.95:
+  * TPU-Flat — the fused Pallas streamed matmul + on-chip top-k brute force
+    (recall ~1.0; the TPU-native answer at these corpus scales),
+  * Anti-Topo graph engine at a few ef_search points (the algorithmic
+    parity engine; wins at corpus scales beyond brute-force feasibility).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot be
-built in this image (its Eigen/pybind11 submodules are empty and the image
-has no network), so the baseline is the documented estimate in
-BENCH_NOTES.md: ~10,000 QPS single-core for expANN-class engines at
-recall@10 ~= 0.95 on n=56k d=128 (derived from its distance-comp counts and
-AVX-512 kernel throughput).  vs_baseline = our_qps / 10000.
+built in this image (empty Eigen/pybind11 submodules, no network), so the
+baseline is the documented estimate in BENCH_NOTES.md: ~10,000 QPS
+single-core for expANN-class engines at recall@10 ~= 0.95 on n=56k d=128.
+vs_baseline = best_qps / 10,000.
 """
 
 from __future__ import annotations
@@ -27,15 +32,49 @@ BASELINE_QPS_EST = 10_000.0
 RECALL_TARGET = 0.95
 
 
+def _recall(ans, gt_sets, k):
+    m = len(gt_sets)
+    hits = sum(
+        len(set(int(v) for v in ans[i]) & gt_sets[i]) for i in range(m)
+    )
+    return hits / (m * k)
+
+
+def _qps(eng, queries, k, Q=8192):
+    reps = int(np.ceil(Q / queries.shape[0]))
+    big = np.tile(queries, (reps, 1))[:Q]
+    eng.query_k_batch(big, k)  # warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eng.query_k_batch(big, k)
+        best = min(best, time.perf_counter() - t0)
+    return Q / best
+
+
 def main() -> None:
     quick = os.environ.get("BENCH_QUICK") == "1"
     n, m, d, k = (8000, 200, 128, 10) if quick else (56000, 400, 128, 10)
 
     from expann_tpu.data.loader import load_synthetic_uniform_sphere_points
     from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
+    from expann_tpu.models.brute_force import BruteForceEngine
 
     ds = load_synthetic_uniform_sphere_points(n=n, m=m, k=k, d=d)
+    gt_sets = [set(int(v) for v in row) for row in ds.ground_truth]
+    points = []  # (name, recall, qps)
 
+    # --- TPU-Flat: fused Pallas brute force ---
+    flat = BruteForceEngine(mode="fused")
+    flat.store_many_vectors(ds.vecs)
+    t0 = time.perf_counter()
+    flat.build()
+    flat_build_s = time.perf_counter() - t0
+    flat_recall = _recall(flat.query_k_batch(ds.queries, k), gt_sets, k)
+    flat_qps = _qps(flat, ds.queries, k)
+    points.append(("tpu_flat", flat_recall, flat_qps))
+
+    # --- Anti-Topo graph engine ---
     cfg = AntitopoConfig(
         M=60,
         ef_construction=500,
@@ -43,54 +82,37 @@ def main() -> None:
         prune_overflow=0,
         precision="default",
     )
-    eng = AntitopoEngine(config=cfg)
-    eng.store_many_vectors(ds.vecs)
+    graph = AntitopoEngine(config=cfg)
+    graph.store_many_vectors(ds.vecs)
     t0 = time.perf_counter()
-    eng.build()
-    build_s = time.perf_counter() - t0
+    graph.build()
+    graph_build_s = time.perf_counter() - t0
+    for mult in ([4] if quick else [2, 4, 6]):
+        graph.set_ef_search(k * mult)
+        rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
+        qps = _qps(graph, ds.queries, k, Q=4096)
+        points.append((f"antitopo_ef{k * mult}", rec, qps))
 
-    gt_sets = [set(int(v) for v in row) for row in ds.ground_truth]
-
-    def recall_at(ef: int) -> float:
-        eng.set_ef_search(ef)
-        ans = eng.query_k_batch(ds.queries, k)
-        hits = sum(
-            len(set(int(v) for v in ans[q]) & gt_sets[q]) for q in range(m)
-        )
-        return hits / (m * k)
-
-    chosen_ef, chosen_recall = None, 0.0
-    for mult in ([2, 4] if quick else [2, 3, 4, 6]):
-        ef = k * mult
-        r = recall_at(ef)
-        chosen_ef, chosen_recall = ef, r
-        if r >= RECALL_TARGET:
-            break
-
-    # throughput: large tiled batch, warmed up, best of 3
-    Q = 2048 if quick else 8192
-    reps = int(np.ceil(Q / m))
-    big = np.tile(ds.queries, (reps, 1))[:Q]
-    eng.set_ef_search(chosen_ef)
-    eng.query_k_batch(big, k)  # warmup (compiles cached from sweep)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        eng.query_k_batch(big, k)
-        best = min(best, time.perf_counter() - t0)
-    qps = Q / best
+    qualifying = [p for p in points if p[1] >= RECALL_TARGET]
+    best = max(qualifying, key=lambda p: p[2]) if qualifying else max(
+        points, key=lambda p: p[1]
+    )
 
     out = {
-        "metric": f"synthetic n={n} d=128 batched QPS at recall@10>={RECALL_TARGET}",
-        "value": round(qps, 1),
+        "metric": f"synthetic n={n} d=128 best QPS at recall@10>={RECALL_TARGET}",
+        "value": round(best[2], 1),
         "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_QPS_EST, 3),
-        "recall": round(chosen_recall, 4),
-        "ef_search": chosen_ef,
-        "build_s": round(build_s, 1),
-        "time_per_query_ns": round(1e9 / qps, 0),
-        "query_batch": Q,
-        "baseline_note": "estimated single-core expANN QPS (see BENCH_NOTES.md); reference unbuildable in-image",
+        "vs_baseline": round(best[2] / BASELINE_QPS_EST, 3),
+        "best_engine": best[0],
+        "recall": round(best[1], 4),
+        "time_per_query_ns": round(1e9 / best[2], 0),
+        "pareto": [
+            {"engine": nm, "recall": round(r, 4), "qps": round(q, 1)}
+            for nm, r, q in points
+        ],
+        "flat_build_s": round(flat_build_s, 1),
+        "graph_build_s": round(graph_build_s, 1),
+        "baseline_note": "estimated single-core expANN QPS (BENCH_NOTES.md); reference unbuildable in-image",
     }
     print(json.dumps(out))
 

@@ -28,16 +28,33 @@ def _exact_topk(q, x, x_norms, k: int, precision: str = "highest"):
 
 
 class BruteForceEngine(Engine):
-    """Exact nearest neighbours over an in-device corpus."""
+    """Exact nearest neighbours over an in-device corpus.
 
-    def __init__(self, batch_size: int = 1024, precision: str = "highest"):
+    Two serving modes:
+      * ``mode='exact'``: XLA matmul + lax.top_k in full precision — the
+        ground-truth oracle (used for synthetic dataset GT).
+      * ``mode='fused'``: the streamed Pallas matmul + on-chip top-k merge
+        kernel (ops/pallas_topk.py) over a bf16 corpus — the serving path
+        ('TPU-Flat'); never materializes the (B, N) distance matrix, scales
+        to corpora where lax.top_k's sort buffers exceed HBM.
+    """
+
+    def __init__(
+        self,
+        batch_size: int = 1024,
+        precision: str = "highest",
+        mode: str = "exact",
+    ):
         self._pending: List[np.ndarray] = []
         self._x = None
         self._x_norms = None
+        self._x_fused = None
+        self._n_fused = 0
         self.n = 0
         self.dim = 0
         self.batch_size = batch_size
         self.precision = precision
+        self.mode = mode
 
     def name(self) -> str:
         return "Brute-Force Engine"
@@ -64,17 +81,55 @@ class BruteForceEngine(Engine):
             self._pending = []
             self.n, self.dim = x.shape
             x = pad_dim(x)
-            self._x = jnp.asarray(x)
-            self._x_norms = squared_norms(self._x)
+            if self.mode == "fused":
+                from expann_tpu.ops.pallas_topk import flat_topk_prepare
+
+                self._x_fused, self._n_fused = flat_topk_prepare(x)
+            else:
+                self._x = jnp.asarray(x)
+                self._x_norms = squared_norms(self._x)
+
+    def _query_fused(self, q: np.ndarray, k: int) -> np.ndarray:
+        import jax
+
+        from expann_tpu.ops.pallas_topk import flat_topk
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        tile = 256
+        out = []
+        bs = max(self.batch_size, tile)
+        for start in range(0, q.shape[0], bs):
+            chunk = q[start : start + bs]
+            real = chunk.shape[0]
+            pad = (-real) % tile
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, q.shape[1]), np.float32)]
+                )
+            ids, _ = flat_topk(
+                jnp.asarray(chunk),
+                self._x_fused,
+                n_real=self._n_fused,
+                k=k,
+                query_tile=tile,
+                interpret=interpret,
+            )
+            out.append(np.asarray(ids)[:real])
+        return np.concatenate(out, axis=0)
 
     def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
-        assert self._x is not None, "build() must be called before queries"
+        assert (
+            self._x is not None or self._x_fused is not None
+        ), "build() must be called before queries"
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim != 2:
             raise ValueError("queries must be 2D")
-        q = pad_dim(q, self._x.shape[-1])
-        if q.shape[-1] != self._x.shape[-1]:
+        width = (self._x if self._x is not None else self._x_fused).shape[-1]
+        q = pad_dim(q, width)
+        if q.shape[-1] != width:
             raise ValueError("query dim exceeds corpus dim")
+        if self.mode == "fused":
+            return self._query_fused(q, k)
         out = []
         bs = self.batch_size
         for start in range(0, q.shape[0], bs):

@@ -1,0 +1,201 @@
+"""Fused brute-force k-NN Pallas kernel: streamed matmul-distance + on-chip
+top-k merge.
+
+Replaces the reference's scalar linear scan + heap
+(reference: src/brute_force_engine.h:29-46) AND the two-op XLA pipeline
+(matmul then lax.top_k).  The XLA pipeline materializes the full (B, N)
+distance matrix in HBM and then runs a sort-class op over it; on this
+hardware sorts and large elementwise ops sustain only a few GB/s while the
+MXU sustains tens of TFLOP/s, so the distance matrix round-trip dominates
+end-to-end latency (and at N=1M the s32[B,N] sort buffers exceed HBM).
+
+This kernel streams the corpus once:
+
+    grid = (query tiles, corpus blocks)         # corpus minor
+    per step: dot((Bt, D), (G, D)^T) on the MXU in VMEM,
+              then a k-pass min-extraction merges the block's distances
+              into a persistent (Bt, k) running top-k in VMEM scratch,
+    writes only the final (Bt, k) ids + distances.
+
+HBM traffic = corpus bytes (sequential) + query tiles; nothing N-sized is
+ever written.  Ties broken by lower id (lexicographic (d, id)), matching
+lax.top_k and the reference's set ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIG = 3.0e38  # "knocked out / empty" marker (positive huge)
+
+
+def _topk_merge_kernel(
+    q_ref,  # (Bt, D) VMEM (storage dtype)
+    x_ref,  # (G, D) VMEM (storage dtype)
+    out_d_ref,  # (Bt, k) f32
+    out_i_ref,  # (Bt, k) int32
+    run_d,  # scratch (Bt, k) f32
+    run_i,  # scratch (Bt, k) int32
+    *,
+    k: int,
+    G: int,
+    n_real: int,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_d[:] = jnp.full(run_d.shape, NEG_BIG, jnp.float32)
+        # distinct sentinel ids per slot — worst-slot selection relies on
+        # (d, id) uniqueness to replace exactly one slot
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, run_i.shape, 1)
+        run_i[:] = jnp.int32(2**31 - 1) - slot_col
+
+    q = q_ref[:]
+    Bt = q.shape[0]
+    qf = q.astype(jnp.float32)
+    qn = jnp.sum(qf * qf, axis=1, keepdims=True)  # (Bt, 1)
+
+    x = x_ref[:]
+    dots = jax.lax.dot_general(
+        q,
+        x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xf = x.astype(jnp.float32)
+    xn = jnp.sum(xf * xf, axis=1)[None, :]  # (1, G)
+    dd = qn + xn - 2.0 * dots  # (Bt, G)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, G), 1)
+    dd = jnp.where(j * G + col >= n_real, NEG_BIG, dd)
+
+    # Pool the block's G distances down to LANES (=128) cells, tracking
+    # which chunk attained each lane's min.  All subsequent reductions run
+    # at 128-lane width, so the k extraction passes cost ~G/LANES less
+    # than full-width extraction.  Cell semantics: a cell holds the
+    # same lane across G/LANES chunks; losing a cell's second-best only
+    # costs recall if two GLOBAL top-k members share (block, lane) —
+    # probability ~ C(k,2) / (num_blocks * LANES), negligible.
+    LANES = 128
+    nch = G // LANES
+    pooled_d = dd[:, :LANES]
+    pooled_c = jnp.zeros((Bt, LANES), jnp.int32)
+    for c in range(1, nch):
+        ch = dd[:, c * LANES : (c + 1) * LANES]
+        better_c = ch < pooled_d
+        pooled_d = jnp.where(better_c, ch, pooled_d)
+        pooled_c = jnp.where(better_c, c, pooled_c)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, LANES), 1)
+    for _ in range(k):
+        m = jnp.min(pooled_d, axis=1, keepdims=True)  # (Bt, 1)
+        is_min = pooled_d == m
+        lane_id = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(2**31 - 1)),
+            axis=1,
+            keepdims=True,
+        )
+        sel = is_min & (lane == lane_id)  # exactly one lane per row
+        chunk_sel = jnp.max(
+            jnp.where(sel, pooled_c, jnp.int32(-1)), axis=1, keepdims=True
+        )
+        pos_id = j * G + chunk_sel * LANES + lane_id  # (Bt, 1) global id
+        # insert into the running top-k: replace the worst slot if better
+        w = jnp.max(run_d[:], axis=1, keepdims=True)
+        is_w = run_d[:] == w
+        w_id = jnp.max(
+            jnp.where(is_w, run_i[:], jnp.int32(-1)), axis=1, keepdims=True
+        )
+        better = (m[:, 0] < w[:, 0]) | (
+            (m[:, 0] == w[:, 0]) & (pos_id[:, 0] < w_id[:, 0])
+        )
+        take = is_w & (run_i[:] == w_id) & better[:, None]
+        run_d[:] = jnp.where(take, m, run_d[:])
+        run_i[:] = jnp.where(take, pos_id, run_i[:])
+        # knock the extracted cell out
+        pooled_d = jnp.where(sel, NEG_BIG, pooled_d)
+
+    # flush the (unsorted) running top-k every step; the caller sorts the
+    # tiny (B, k) result, so no write-only-on-last-step assumptions
+    out_d_ref[:] = run_d[:]
+    out_i_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_real", "query_tile", "corpus_block", "interpret"),
+)
+def flat_topk(
+    q: jax.Array,  # (B, D) f32
+    x: jax.Array,  # (N_pad, D) storage dtype (f32/bf16); row-padded
+    n_real: int,
+    k: int,
+    query_tile: int = 256,
+    corpus_block: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-NN of every query against the corpus: returns ``(ids, d2)``
+    of shape (B, k), ascending by (distance, id).  B must be a multiple of
+    query_tile and N_pad of corpus_block."""
+    B, D = q.shape
+    N_pad = x.shape[0]
+    assert B % query_tile == 0 and N_pad % corpus_block == 0
+    qc = q.astype(x.dtype)
+
+    grid = (B // query_tile, N_pad // corpus_block)
+    kernel = functools.partial(
+        _topk_merge_kernel, k=k, G=corpus_block, n_real=n_real
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (query_tile, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (corpus_block, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (query_tile, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (query_tile, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((query_tile, k), jnp.float32),
+            pltpu.VMEM((query_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qc, x)
+    out_d = jnp.where(out_d >= NEG_BIG, jnp.inf, jnp.maximum(out_d, 0.0))
+    # the kernel's running top-k is unsorted; (B, k) sort is negligible
+    out_d, out_i = jax.lax.sort((out_d, out_i), num_keys=2)
+    return out_i, out_d
+
+
+def flat_topk_prepare(
+    x: np.ndarray, dtype=jnp.bfloat16, corpus_block: int = 1024
+) -> Tuple[jax.Array, int]:
+    """Pad + upload a host corpus for flat_topk: returns (x_dev, n)."""
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    pad = (-n) % corpus_block
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
+    return jnp.asarray(x, dtype), n

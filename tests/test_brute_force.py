@@ -40,3 +40,18 @@ def test_brute_force_normalize():
     eng.build()
     q = x[3] / np.linalg.norm(x[3])
     assert eng.query_k(q, 1) == [3]
+
+
+def test_brute_force_fused_pallas_mode():
+    # the fused Pallas kernel runs in interpret mode on CPU (small case)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    q = rng.standard_normal((64, 32)).astype(np.float32)
+    eng = BruteForceEngine(mode="fused")
+    eng.store_many_vectors(x)
+    eng.build()
+    got = eng.query_k_batch(q, 5)
+    want = _np_knn(q, x, 5)
+    # bf16 corpus: allow tiny disagreement on near-ties
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(got, want)])
+    assert agree >= 0.95, f"fused agreement {agree}"
