@@ -75,11 +75,16 @@ def main() -> None:
     points.append(("tpu_flat", flat_recall, flat_qps))
 
     # --- Anti-Topo graph engine ---
+    # prune_overflow=1 and full-width prune candidates sit inside the
+    # reference's own sweep grid (src/bench_runner.h:133-163) and give the
+    # best recall curve on this dataset (see tools/ sweeps)
     cfg = AntitopoConfig(
         M=60,
         ef_construction=500,
         ortho_count=1,
-        prune_overflow=0,
+        prune_overflow=1,
+        prune_cand=500,
+        query_expand=4,
         precision="default",
     )
     graph = AntitopoEngine(config=cfg)
@@ -87,7 +92,7 @@ def main() -> None:
     t0 = time.perf_counter()
     graph.build()
     graph_build_s = time.perf_counter() - t0
-    for mult in ([4] if quick else [2, 4, 6]):
+    for mult in ([4] if quick else [4, 6, 12]):
         graph.set_ef_search(k * mult)
         rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
         qps = _qps(graph, ds.queries, k, Q=4096)

@@ -305,3 +305,106 @@ def replicated_query_dp(
     ids, _, _ = query_batch(graph_rep, q_sharded, k=k, ef=ef, precision=precision)
     ids = np.asarray(ids)
     return ids[: ids.shape[0] - pad] if pad else ids
+
+
+# ---------------------------------------------------------------------------
+# Sharded TPU-Flat: corpus-sharded fused brute-force fan-out
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedFlat:
+    """Row-sharded bf16 corpus for the fused Pallas flat-scan engine: each
+    device streams its shard through the flat_topk kernel concurrently; one
+    all-gather merges per-shard top-k (ICI), recall == single-chip flat."""
+
+    x: jax.Array  # (S, n_shard_pad, D) bf16, device-sharded on axis 0
+    n_shard: int  # real rows per shard (last shard may have fewer)
+    n_total: int
+    mesh: Mesh
+    block: int = 1024  # corpus_block the shards were padded to
+
+
+def build_sharded_flat(
+    x: np.ndarray, mesh: Optional[Mesh] = None, block: int = 1024
+) -> ShardedFlat:
+    mesh = mesh or make_mesh()
+    S = mesh.devices.size
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    d_pad = ((d + LANE - 1) // LANE) * LANE
+    n_shard = (n + S - 1) // S
+    n_shard_pad = ((n_shard + block - 1) // block) * block
+    # padding ROWS get a large constant so their distances dominate any
+    # real distance without inf/NaN arithmetic inside the kernel; feature
+    # padding columns of real rows stay zero (distance-neutral)
+    stacked = np.zeros((S, n_shard_pad, d_pad), np.float32)
+    for s in range(S):
+        part = x[s * n_shard : (s + 1) * n_shard]
+        stacked[s, : part.shape[0], :d] = part
+        stacked[s, part.shape[0] :, :] = 1e4
+    sharding = NamedSharding(mesh, P(AXIS))
+    return ShardedFlat(
+        x=jax.device_put(jnp.asarray(stacked, jnp.bfloat16), sharding),
+        n_shard=n_shard,
+        n_total=n,
+        mesh=mesh,
+        block=block,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_shard", "mesh", "interpret", "block")
+)
+def _sharded_flat_query(
+    xs, q, k: int, n_shard: int, mesh: Mesh, interpret: bool, block: int
+):
+    from expann_tpu.ops.pallas_topk import flat_topk
+
+    def per_shard(xs, q):
+        xs = xs[0]  # (n_shard_pad, D)
+        ids, d = flat_topk(
+            q, xs, n_real=xs.shape[0], k=k, interpret=interpret,
+            corpus_block=block,
+        )
+        shard = jax.lax.axis_index(AXIS)
+        gids = jnp.where(ids >= n_shard, -1, ids + shard * n_shard)
+        d = jnp.where(ids >= n_shard, jnp.inf, d)
+        return gids[None], d[None]
+
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axes
+    # metadata, so shard_map's vma checker cannot type them
+    gids, d = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )(xs, q)
+    S, B, _ = gids.shape
+    all_d = jnp.transpose(d, (1, 0, 2)).reshape(B, S * k)
+    all_i = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
+    all_d, all_i = jax.lax.sort((all_d, all_i), num_keys=1)
+    return all_i[:, :k], all_d[:, :k]
+
+
+def sharded_flat_query(index: ShardedFlat, queries: np.ndarray, k: int) -> np.ndarray:
+    """Replicated queries, per-shard fused flat scan, global top-k merge."""
+    q = np.asarray(queries, np.float32)
+    q = pad_dim(q, index.x.shape[-1])
+    tile = 256
+    pad = (-q.shape[0]) % tile
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    ids, _ = _sharded_flat_query(
+        index.x,
+        jnp.asarray(q),
+        k=k,
+        n_shard=index.n_shard,
+        mesh=index.mesh,
+        interpret=interpret,
+        block=index.block,
+    )
+    ids = np.asarray(ids)
+    return ids[: ids.shape[0] - pad] if pad else ids

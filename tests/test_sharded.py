@@ -114,3 +114,17 @@ def test_replicated_dp_query():
     ans = replicated_query_dp(eng.graph, q, k=k, ef=30, mesh=mesh)
     rec = _recall(ans, gt)
     assert rec >= 0.9, f"dp recall {rec}"
+
+
+def test_sharded_flat_query_exact():
+    from expann_tpu.parallel.sharded import build_sharded_flat, sharded_flat_query
+
+    x, q = _data(2100, 24, 16, seed=7)
+    k = 5
+    gt = _gt(x, q, k)
+    mesh = make_mesh(8)
+    idx = build_sharded_flat(x, mesh, block=128)
+    ans = sharded_flat_query(idx, q, k=k)
+    rec = _recall(ans, gt)
+    assert rec >= 0.95, f"sharded flat recall {rec}"
+    assert (ans[ans >= 0] < 2100).all()
