@@ -71,7 +71,9 @@ def main() -> None:
     flat.build()
     flat_build_s = time.perf_counter() - t0
     flat_recall = _recall(flat.query_k_batch(ds.queries, k), gt_sets, k)
-    flat_qps = _qps(flat, ds.queries, k)
+    # per-call overhead dominates the fused kernel; throughput is measured
+    # at a production-sized batch
+    flat_qps = _qps(flat, ds.queries, k, Q=16384 if quick else 65536)
     points.append(("tpu_flat", flat_recall, flat_qps))
 
     # --- Anti-Topo graph engine ---

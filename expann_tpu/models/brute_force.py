@@ -97,7 +97,10 @@ class BruteForceEngine(Engine):
         interpret = jax.default_backend() not in ("tpu", "axon")
         tile = 256
         out = []
-        bs = max(self.batch_size, tile)
+        # per-call overhead dominates this kernel (measured ~230ms per
+        # dispatch regardless of batch or corpus size) — process as many
+        # queries per call as memory comfortably allows
+        bs = max(self.batch_size, min(q.shape[0], 65536))
         for start in range(0, q.shape[0], bs):
             chunk = q[start : start + bs]
             real = chunk.shape[0]
