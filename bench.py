@@ -87,6 +87,7 @@ def main() -> None:
         prune_overflow=1,
         prune_cand=500,
         query_expand=4,
+        query_block=4096,
         precision="default",
     )
     graph = AntitopoEngine(config=cfg)
