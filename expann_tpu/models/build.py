@@ -141,6 +141,95 @@ def exact_knn_device(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("C", "row_block", "col_block", "precision")
+)
+def ortho_knn_device(
+    vecs: jax.Array,  # (n_pad, D) rows padded with +inf-norm sentinels
+    norms: jax.Array,  # (n_pad,)
+    chosen: jax.Array,  # (n_pad, OC) ids of previously chosen entry points
+    chosen_valid: jax.Array,  # (n_pad, OC) bool
+    ortho_factor,
+    ortho_bias,
+    C: int,
+    row_block: int,
+    col_block: int,
+    precision: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-C by the *ortho-penalized* score, streamed like
+    exact_knn_device.  Score per candidate c of node q (reference:
+    src/antitopo_engine.h:342-351):
+
+        score(c) = d2(q, c) + sum over chosen p of
+                   [d2(p, c) < d2(q, c)] * (ortho_factor * (d2(q,c) - d2(p,c))
+                                            + ortho_bias)
+
+    This is the dense-exact version of the reference's i-th ortho-penalized
+    construction search; each chosen point costs one extra matmul per tile.
+    Returns (ids, score) sorted by (score, id) — like the reference, the
+    carried value is the penalized score, which then feeds the prune's
+    basic_dist (src/antitopo_engine.h:415-423,281-283).
+    """
+    n_pad, D = vecs.shape
+    OC = chosen.shape[1]
+    n_row_chunks = n_pad // row_block
+    n_col_chunks = n_pad // col_block
+
+    q_chunks = vecs.reshape(n_row_chunks, row_block, D)
+    qn_chunks = norms.reshape(n_row_chunks, row_block)
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_row_chunks, row_block)
+    ch_chunks = chosen.reshape(n_row_chunks, row_block, OC)
+    chv_chunks = chosen_valid.reshape(n_row_chunks, row_block, OC)
+
+    kk = min(C, col_block)
+
+    def row_step(_, chunk):
+        qv, qn, rids, ch, chv = chunk
+        # gather the chosen entry-point vectors for this row block
+        pv = vecs[jnp.minimum(ch, n_pad - 1)]  # (rb, OC, D)
+        pn = norms[jnp.minimum(ch, n_pad - 1)]  # (rb, OC)
+        run_d = jnp.full((row_block, C), INF, jnp.float32)
+        run_i = jnp.full((row_block, C), n_pad, jnp.int32)
+
+        def col_step(c, carry):
+            run_d, run_i = carry
+            xv = jax.lax.dynamic_slice(vecs, (c * col_block, 0), (col_block, D))
+            xn = jax.lax.dynamic_slice(norms, (c * col_block,), (col_block,))
+            d2 = pairwise_dist2(qv, xv, x_norms=xn, q_norms=qn, precision=precision)
+            # co-distances of each chosen point to every candidate
+            co_dots = jnp.einsum(
+                "rod,cd->roc", pv, xv,
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (rb, OC, cb)
+            co = pn[:, :, None] + xn[None, None, :] - 2.0 * co_dots
+            hit = (co < d2[:, None, :]) & chv[:, :, None]
+            pen = jnp.where(
+                hit, ortho_factor * (d2[:, None, :] - co) + ortho_bias, 0.0
+            )
+            score = d2 + jnp.sum(pen, axis=1)
+            col_ids = c * col_block + jax.lax.broadcasted_iota(
+                jnp.int32, (1, col_block), 1
+            )
+            score = jnp.where(col_ids == rids[:, None], INF, score)
+            neg_s, idx = jax.lax.top_k(-score, kk)
+            blk_s = -neg_s
+            blk_i = jnp.take_along_axis(
+                jnp.broadcast_to(col_ids, score.shape), idx, axis=1
+            )
+            all_s = jnp.concatenate([run_d, blk_s], axis=1)
+            all_i = jnp.concatenate([run_i, blk_i], axis=1)
+            all_s, all_i = jax.lax.sort((all_s, all_i), num_keys=2)
+            return all_s[:, :C], all_i[:, :C]
+
+        run_d, run_i = jax.lax.fori_loop(0, n_col_chunks, col_step, (run_d, run_i))
+        return None, (run_d, run_i)
+
+    _, (d_out, i_out) = jax.lax.scan(
+        row_step, None, (q_chunks, qn_chunks, row_ids, ch_chunks, chv_chunks)
+    )
+    return i_out.reshape(n_pad, C), d_out.reshape(n_pad, C)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cap", "prune_overflow", "prune_block", "precision"),
 )
@@ -366,6 +455,51 @@ def _build_layer(
         vecs_p, norms_p, C=C, row_block=row_block, col_block=col_block,
         precision=cfg.precision,
     )
+
+    if cfg.ortho_count > 1:
+        # Reference construction runs ortho_count searches per insert and
+        # unions their result lists (src/antitopo_engine.h:396-423): search
+        # i penalizes candidates that are closer to the previously chosen
+        # entry points than to the new vertex.  Dense-exact version: pass 0
+        # is the plain kNN above; each later pass is an exact penalized
+        # scan (ortho_knn_device) against the i best-so-far entry points
+        # (the reference's new_cur, deduplicated, :407-413); the union
+        # keeps each id's best score — like the reference, carried values
+        # of penalized passes are the penalized scores.
+        all_ids = [knn_ids]
+        all_d = [knn_d]
+        chosen_cols = [knn_ids[:, 0]]
+        for i in range(1, cfg.ortho_count):
+            chosen = jnp.stack(chosen_cols, axis=1)  # (n_pad, i)
+            valid_cols = [jnp.ones_like(chosen_cols[0], dtype=bool)]
+            for jj in range(1, i):
+                dupj = jnp.zeros_like(valid_cols[0])
+                for kk2 in range(jj):
+                    dupj = dupj | (chosen_cols[jj] == chosen_cols[kk2])
+                valid_cols.append(~dupj)
+            chosen_valid = jnp.stack(valid_cols, axis=1)
+            ids_i, d_i = ortho_knn_device(
+                vecs_p, norms_p, chosen, chosen_valid,
+                cfg.ortho_factor, cfg.ortho_bias,
+                C=C, row_block=row_block, col_block=col_block,
+                precision=cfg.precision,
+            )
+            all_ids.append(ids_i)
+            all_d.append(d_i)
+            chosen_cols.append(ids_i[:, 0])
+        cat_d = jnp.concatenate(all_d, axis=1)
+        cat_i = jnp.concatenate(all_ids, axis=1)
+        # dedup by id keeping the best score: sort by (id, score), mask
+        # repeats, sort back by (score, id), truncate to C
+        i_s, d_s = jax.lax.sort((cat_i, cat_d), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones((n_pad, 1), bool), i_s[:, 1:] != i_s[:, :-1]], axis=1
+        )
+        d_s = jnp.where(first, d_s, INF)
+        i_s = jnp.where(first, i_s, n_pad)
+        knn_d, knn_ids = jax.lax.sort((d_s, i_s), num_keys=2)
+        knn_d = knn_d[:, :C]
+        knn_ids = knn_ids[:, :C]
 
     # Corpus with sentinel row for gathers during prune (padded ids >= n all
     # collapse onto the sentinel row).

@@ -143,3 +143,57 @@ def test_engine_ranged_quantization():
     ans = eng.query_k_batch(q, k)
     rec = _recall(ans, gt)
     assert rec >= 0.85, f"ranged-quant recall {rec} too low"
+
+
+def test_ortho_knn_scan_matches_numpy():
+    """ortho_knn_device penalized scores must match a direct numpy
+    evaluation of the reference scoring rule (src/antitopo_engine.h:342-351)."""
+    import jax.numpy as jnp
+
+    from expann_tpu.models.build import ortho_knn_device
+
+    rng = np.random.default_rng(21)
+    n, d = 64, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    xp = np.pad(x, ((0, 0), (0, 112)))
+    norms = (xp.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    chosen = rng.integers(0, n, (n, 2)).astype(np.int32)
+    valid = np.ones((n, 2), bool)
+    factor, bias = 0.5, 0.1
+
+    ids, score = ortho_knn_device(
+        jnp.asarray(xp), jnp.asarray(norms), jnp.asarray(chosen),
+        jnp.asarray(valid), factor, bias,
+        C=8, row_block=64, col_block=64, precision="highest",
+    )
+    ids = np.asarray(ids)
+    score = np.asarray(score)
+
+    d2 = ((x[:, None].astype(np.float64) - x[None].astype(np.float64)) ** 2).sum(-1)
+    for q in range(0, n, 7):
+        s = d2[q].copy()
+        for p in chosen[q]:
+            co = d2[p]
+            hit = co < d2[q]
+            s = s + np.where(hit, factor * (d2[q] - co) + bias, 0.0)
+        s[q] = np.inf
+        order = np.argsort(s, kind="stable")[:8]
+        np.testing.assert_allclose(
+            score[q], np.sort(s)[:8], rtol=1e-4, atol=1e-3
+        )
+        assert set(ids[q].tolist()) == set(order.tolist())
+
+
+def test_engine_ortho_count_2():
+    x, q = _synthetic(1500, 60, 24, seed=31)
+    k = 10
+    gt = _ground_truth(x, q, k)
+    eng = AntitopoEngine(
+        config=AntitopoConfig(
+            M=12, ef_construction=80, ef_search_mult=4, ortho_count=2
+        )
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    rec = _recall(eng.query_k_batch(q, k), gt)
+    assert rec >= 0.9, f"ortho_count=2 recall {rec}"
