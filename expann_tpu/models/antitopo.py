@@ -19,7 +19,7 @@ src/antitopo_engine.h:125-129); both reset on ``build`` and on
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ entry point; ``query_k`` is a convenience wrapper over a batch of one).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -44,7 +44,7 @@ import numpy as np
 
 from expann_tpu.models.graph import GraphIndex, UpperLayer, make_corpus
 from expann_tpu.models.prune import antitopo_prune, pairwise_co_dist
-from expann_tpu.ops.distance import pairwise_dist2, squared_norms
+from expann_tpu.ops.distance import pairwise_dist2
 
 INF = jnp.inf
 

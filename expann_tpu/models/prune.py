@@ -25,8 +25,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from expann_tpu.ops.distance import squared_norms
-
 INF = jnp.inf
 
 

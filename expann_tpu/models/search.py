@@ -26,7 +26,7 @@ TPU-native replacement for the reference's sequential two-heap beam search
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
