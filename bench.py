@@ -4,7 +4,8 @@
 Measures the engine suite and reports the best QPS among points with
 recall@10 >= 0.95:
   * TPU-Flat — the fused Pallas streamed matmul + on-chip top-k brute force
-    (recall ~1.0; the TPU-native answer at these corpus scales),
+    (recall ~0.993 — near-exact, see ops/pallas_topk.py; the TPU-native
+    answer at these corpus scales),
   * Anti-Topo graph engine at a few ef_search points (the algorithmic
     parity engine; wins at corpus scales beyond brute-force feasibility).
 
@@ -40,14 +41,24 @@ def _recall(ans, gt_sets, k):
     return hits / (m * k)
 
 
-def _qps(eng, queries, k, Q=8192):
-    reps = int(np.ceil(Q / queries.shape[0]))
-    big = np.tile(queries, (reps, 1))[:Q]
-    eng.query_k_batch(big, k)  # warmup
+def _qps(eng, d, k, Q=8192, seed=20260816):
+    """Throughput on UNIQUE random queries, a fresh batch per repetition.
+
+    Tiling the 400 real queries (round 1) risked dispatch dedup/caching on
+    this host (CLAUDE.md) and gave a graph traversal unrepresentatively
+    identical beams; unique N(0,1) queries match the synthetic dataset's
+    query distribution (data/loader.py:generate_synthetic)."""
+    rng = np.random.default_rng(seed)
+
+    def batch():
+        return rng.standard_normal((Q, d)).astype(np.float32)
+
+    eng.query_k_batch(batch(), k)  # warmup / compile
     best = float("inf")
     for _ in range(3):
+        b = batch()
         t0 = time.perf_counter()
-        eng.query_k_batch(big, k)
+        eng.query_k_batch(b, k)
         best = min(best, time.perf_counter() - t0)
     return Q / best
 
@@ -73,8 +84,9 @@ def main() -> None:
     flat_recall = _recall(flat.query_k_batch(ds.queries, k), gt_sets, k)
     # per-call overhead dominates the fused kernel; throughput is measured
     # at a production-sized batch
-    flat_qps = _qps(flat, ds.queries, k, Q=16384 if quick else 65536)
-    points.append(("tpu_flat", flat_recall, flat_qps))
+    flat_qps = _qps(flat, d, k, Q=16384 if quick else 65536)
+    # a flat scan scores the whole corpus once per query
+    points.append(("tpu_flat", flat_recall, flat_qps, n))
 
     # --- Anti-Topo graph engine ---
     # prune_overflow=1 and full-width prune candidates sit inside the
@@ -96,10 +108,13 @@ def main() -> None:
     graph.build()
     graph_build_s = time.perf_counter() - t0
     for mult in ([4] if quick else [4, 6, 12]):
-        graph.set_ef_search(k * mult)
+        graph.set_ef_search(k * mult)  # also resets distcomp counters
         rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
-        qps = _qps(graph, ds.queries, k, Q=4096)
-        points.append((f"antitopo_ef{k * mult}", rec, qps))
+        distcomps = (
+            graph.num_distcomps + graph.num_distcomps_compressed
+        ) / m  # per query, from the recall run (RECORD_STATS parity)
+        qps = _qps(graph, d, k, Q=4096)
+        points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps))
 
     qualifying = [p for p in points if p[1] >= RECALL_TARGET]
     best = max(qualifying, key=lambda p: p[2]) if qualifying else max(
@@ -115,8 +130,13 @@ def main() -> None:
         "recall": round(best[1], 4),
         "time_per_query_ns": round(1e9 / best[2], 0),
         "pareto": [
-            {"engine": nm, "recall": round(r, 4), "qps": round(q, 1)}
-            for nm, r, q in points
+            {
+                "engine": nm,
+                "recall": round(r, 4),
+                "qps": round(q, 1),
+                "distcomps_per_query": round(dc, 1),
+            }
+            for nm, r, q, dc in points
         ],
         "flat_build_s": round(flat_build_s, 1),
         "graph_build_s": round(graph_build_s, 1),

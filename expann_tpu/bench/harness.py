@@ -38,8 +38,9 @@ def get_benchmark_data(eng: Engine, ds: TestDataset) -> BenchData:
     m, k = ds.m, ds.k
     assert ans.shape[0] == m
 
-    # duplicate detection (src/basic_bench.h:98-104)
-    valid = ans >= 0
+    # duplicate detection (src/basic_bench.h:98-104); ids outside [0, n)
+    # are padding sentinels (-1 or n), not duplicates
+    valid = (ans >= 0) & (ans < ds.n)
     for q in range(m):
         row = ans[q][valid[q]]
         if np.unique(row).size != row.size:

@@ -85,13 +85,16 @@ def _score(eng, ds, ans, per_query_ns, build_ns) -> BenchData:
     avg_d = 0.0
     avg_d2 = 0.0
     for q in range(m):
-        row = set(int(v) for v in ans[q] if 0 <= v < ds.n)
-        num_best_found += len(row.intersection(int(v) for v in gt[q]))
-        top1 = int(ans[q][0])
-        diff = ds.queries[q].astype(np.float64) - ds.vecs[top1].astype(np.float64)
-        d2 = float(np.dot(diff, diff))
-        avg_d += np.sqrt(d2)
-        avg_d2 += d2
+        valid = [int(v) for v in ans[q] if 0 <= v < ds.n]
+        num_best_found += len(set(valid).intersection(int(v) for v in gt[q]))
+        if valid:
+            top1 = valid[0]
+            diff = ds.queries[q].astype(np.float64) - ds.vecs[top1].astype(
+                np.float64
+            )
+            d2 = float(np.dot(diff, diff))
+            avg_d += np.sqrt(d2)
+            avg_d2 += d2
     return BenchData(
         time_per_query_ns=per_query_ns,
         time_to_build_ns=build_ns,

@@ -29,8 +29,12 @@ def main(argv=None) -> int:
     ds_name = get_parameter(
         argv, config, "ds_name", "Enter dataset name: ", interactive=False
     ) if ("ds_name" in config or "--ds_name" in argv) else ""
+    # num_threads is accepted for config/flag parity with the reference but
+    # the device is time-shared (bench/runner.py) — don't prompt for it
     num_threads = int(
-        get_parameter(argv, config, "num_threads", "Enter number of threads: ", int)
+        get_parameter(
+            argv, config, "num_threads", "", int, interactive=False, default=1
+        )
     )
 
     if dataset == "Sift1M":

@@ -36,7 +36,9 @@ class BruteForceEngine(Engine):
       * ``mode='fused'``: the streamed Pallas matmul + on-chip top-k merge
         kernel (ops/pallas_topk.py) over a bf16 corpus — the serving path
         ('TPU-Flat'); never materializes the (B, N) distance matrix, scales
-        to corpora where lax.top_k's sort buffers exceed HBM.
+        to corpora where lax.top_k's sort buffers exceed HBM.  Near-exact
+        (recall@10 ~0.993: bf16 rounding + the kernel's 128-lane pooling) —
+        NOT a ground-truth oracle; use mode='exact' for GT.
     """
 
     def __init__(

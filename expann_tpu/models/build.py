@@ -24,6 +24,18 @@ acceptance test is recall/QPS parity, not graph isomorphism):
      of prune_edges, :270-273), overflowing nodes are re-pruned over the
      union of their forward and incoming edges.
 
+Controlled divergence (reverse-pass cap): incoming edges per destination
+are collected into a fixed-width buffer of A = min(2*cap, 4096) slots; a
+hub node receiving more than A incoming edges silently drops the excess in
+source-chunk order (nearest-first *within* each 8192-row chunk, since
+chunks are sorted by (dst, d) before the scatter), whereas the reference
+re-prunes the full union on every overflow (src/antitopo_engine.h:441-455).
+A distance-sorted global selection would need per-chunk row sorts over the
+whole corpus — prohibitive at the measured single-digit-GB/s TPU sort rate
+— and with cap = M0 = 120 the final prune still selects from 2*cap = 240
+candidates, 2x the reference's own working set; end-recall parity tests
+gate the approximation.
+
 Everything between host entry and the final adjacency download runs in a
 handful of device dispatches — important on hosts where each dispatch pays
 tunnel latency.  This build is O(n_l^2) distance work per layer, which one

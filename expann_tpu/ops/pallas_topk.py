@@ -142,9 +142,16 @@ def flat_topk(
     corpus_block: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact k-NN of every query against the corpus: returns ``(ids, d2)``
-    of shape (B, k), ascending by (distance, id).  B must be a multiple of
-    query_tile and N_pad of corpus_block."""
+    """Near-exact k-NN of every query against the corpus: returns
+    ``(ids, d2)`` of shape (B, k), ascending by (distance, id).  B must be
+    a multiple of query_tile and N_pad of corpus_block.
+
+    Two small approximations (measured recall@10 ~0.993, not 1.0): the
+    extraction step pools each corpus block to 128 lanes first, so a
+    block's second-best candidate sharing a lane with the best can be
+    lost for that pass, and the serving corpus is typically stored bf16.
+    Use BruteForceEngine(mode='exact') as the ground-truth oracle, never
+    this kernel."""
     B, D = q.shape
     N_pad = x.shape[0]
     assert B % query_tile == 0 and N_pad % corpus_block == 0

@@ -354,10 +354,12 @@ def build_sharded_flat(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_shard", "mesh", "interpret", "block")
+    jax.jit,
+    static_argnames=("k", "n_shard", "n_total", "mesh", "interpret", "block"),
 )
 def _sharded_flat_query(
-    xs, q, k: int, n_shard: int, mesh: Mesh, interpret: bool, block: int
+    xs, q, k: int, n_shard: int, n_total: int, mesh: Mesh, interpret: bool,
+    block: int,
 ):
     from expann_tpu.ops.pallas_topk import flat_topk
 
@@ -368,8 +370,12 @@ def _sharded_flat_query(
             corpus_block=block,
         )
         shard = jax.lax.axis_index(AXIS)
-        gids = jnp.where(ids >= n_shard, -1, ids + shard * n_shard)
-        d = jnp.where(ids >= n_shard, jnp.inf, d)
+        # mask ids beyond this shard's REAL row count (the last shard's
+        # padding rows would otherwise surface as finite-distance ids when
+        # k exceeds its real rows)
+        real = jnp.clip(n_total - shard * n_shard, 0, n_shard)
+        gids = jnp.where(ids >= real, -1, ids + shard * n_shard)
+        d = jnp.where(ids >= real, jnp.inf, d)
         return gids[None], d[None]
 
     # check_vma=False: pallas_call outputs don't carry varying-mesh-axes
@@ -402,6 +408,7 @@ def sharded_flat_query(index: ShardedFlat, queries: np.ndarray, k: int) -> np.nd
         jnp.asarray(q),
         k=k,
         n_shard=index.n_shard,
+        n_total=index.n_total,
         mesh=index.mesh,
         interpret=interpret,
         block=index.block,

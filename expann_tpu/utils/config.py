@@ -30,6 +30,9 @@ def load_config_file(argv: List[str], default: str = "config.json") -> dict:
         return {}
 
 
+_MISSING = object()
+
+
 def get_parameter(
     argv: List[str],
     config: dict,
@@ -37,6 +40,7 @@ def get_parameter(
     prompt: str,
     cast=str,
     interactive: bool = True,
+    default: Any = _MISSING,
 ) -> Any:
     cli = get_command_line_option(argv, "--" + name)
     if cli is not None:
@@ -44,6 +48,8 @@ def get_parameter(
     if name in config:
         return cast(config[name])
     if not interactive:
+        if default is not _MISSING:
+            return default
         raise KeyError(f"missing required parameter: {name}")
     sys.stdout.write(prompt)
     sys.stdout.flush()

@@ -1,6 +1,8 @@
 import json
 import os
 
+import pytest
+
 from expann_tpu.pyplotter import prepare_data, static_plot, transform_value
 
 
@@ -49,3 +51,23 @@ def test_static_plot(tmp_path):
     out = str(tmp_path / "plot.png")
     static_plot(RECORDS, "recall", "time_per_query_ns", out)
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_serve_dashboard_requires_dash(tmp_path, monkeypatch):
+    """serve_dashboard builds a real Dash app when dash is installed and
+    raises ImportError otherwise (documented: static_plot is the in-image
+    workflow)."""
+    pytest.importorskip("dash")
+    # dash present: construct the app without running the server
+    import expann_tpu.pyplotter as pp
+
+    served = {}
+    monkeypatch.setattr(
+        "dash.Dash.run", lambda self, **kw: served.setdefault("ran", True),
+        raising=False,
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "latest.json").write_text(json.dumps(RECORDS))
+    (data_dir / "all.json").write_text(json.dumps(RECORDS))
+    pp.serve_dashboard(str(data_dir))
