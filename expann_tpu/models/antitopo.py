@@ -63,6 +63,15 @@ class AntitopoConfig:
     # reference's live path) or "ranged" (min/max affine q8, the principled
     # variant the reference defines but never instantiates)
     quant_mode: str = "simple"
+    # packed-neighbour serving layout (ops/pallas_beam.py): "auto" enables
+    # it on TPU backends for uncompressed queries; True forces it (interpret
+    # mode off-TPU, for tests); False disables.  Costs ~Rp x corpus bytes of
+    # HBM for ~20x faster beam expansions.
+    use_packed: object = "auto"
+    # in-kernel per-expansion top-t extraction (0 = keep all R neighbour
+    # scores): shrinks the per-iteration beam merge by R/t at a small
+    # recall cost from discarded per-node tails
+    packed_topt: int = 8
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -227,10 +236,36 @@ class AntitopoEngine(Engine):
             return max(int(self.cfg.ef_search), k)
         return max(k * self.cfg.ef_search_mult, k)
 
+    def _resolve_packed(self) -> bool:
+        """Decide whether queries run the packed-neighbour Pallas path and
+        lazily materialize the packed arrays on first use."""
+        import jax as _jax
+
+        c = self.cfg
+        if c.use_compression:
+            return False
+        if c.use_packed == "auto":
+            on = _jax.default_backend() in ("tpu", "axon")
+        else:
+            on = bool(c.use_packed)
+        if on and self.graph.packed is None:
+            from expann_tpu.ops.pallas_beam import build_packed
+
+            packed, aux = build_packed(
+                self.graph.vectors, self.graph.norms, self.graph.adj_bottom
+            )
+            self.graph = dataclasses.replace(
+                self.graph, packed=packed, packed_aux=aux
+            )
+        return on
+
     def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
         import time as _time
+        import jax as _jax
 
         assert self.graph is not None, "build() must be called before queries"
+        use_packed = self._resolve_packed()
+        interpret = _jax.default_backend() not in ("tpu", "axon")
         t_begin = _time.perf_counter_ns()
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim != 2:
@@ -265,6 +300,9 @@ class AntitopoEngine(Engine):
                     self.cfg.use_compression and self.graph.codes is not None
                 ),
                 expand=self.cfg.query_expand,
+                use_packed=use_packed,
+                packed_topt=self.cfg.packed_topt,
+                interpret=bool(use_packed and interpret),
             )
             ids = np.asarray(ids)[:real]
             if self.cfg.use_compression:

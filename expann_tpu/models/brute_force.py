@@ -27,10 +27,26 @@ def _exact_topk(q, x, x_norms, k: int, precision: str = "highest"):
     return idx, -neg_d
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_exact(q, x, x_norms, cand_ids, k: int):
+    """Exact f32 rerank of per-query candidate ids: gather, score, top-k.
+    Out-of-range ids (kernel sentinels) score +inf."""
+    n = x.shape[0]
+    safe = jnp.clip(cand_ids, 0, n - 1)
+    cv = x[safe]  # (B, m, D)
+    cn = jnp.where((cand_ids >= 0) & (cand_ids < n), x_norms[safe], jnp.inf)
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    d2 = qn + cn - 2.0 * jnp.einsum(
+        "bd,bmd->bm", q, cv, preferred_element_type=jnp.float32
+    )
+    d2, ids = jax.lax.sort((d2, cand_ids), num_keys=1)
+    return ids[:, :k], d2[:, :k]
+
+
 class BruteForceEngine(Engine):
     """Exact nearest neighbours over an in-device corpus.
 
-    Two serving modes:
+    Three serving modes:
       * ``mode='exact'``: XLA matmul + lax.top_k in full precision — the
         ground-truth oracle (used for synthetic dataset GT).
       * ``mode='fused'``: the streamed Pallas matmul + on-chip top-k merge
@@ -39,6 +55,10 @@ class BruteForceEngine(Engine):
         to corpora where lax.top_k's sort buffers exceed HBM.  Near-exact
         (recall@10 ~0.993: bf16 rounding + the kernel's 128-lane pooling) —
         NOT a ground-truth oracle; use mode='exact' for GT.
+      * ``mode='fused_i8'``: the same kernel over centered int8 codes
+        (s8 MXU at 2x bf16 peak, half the HBM stream), scanning for
+        ``rerank_mult * k`` candidates which are then exactly reranked in
+        f32 — recall comparable to 'fused' at higher device throughput.
     """
 
     def __init__(
@@ -46,17 +66,21 @@ class BruteForceEngine(Engine):
         batch_size: int = 1024,
         precision: str = "highest",
         mode: str = "exact",
+        rerank_mult: int = 3,
     ):
         self._pending: List[np.ndarray] = []
         self._x = None
         self._x_norms = None
         self._x_fused = None
         self._n_fused = 0
+        self._i8_center = None
+        self._i8_scale = 1.0
         self.n = 0
         self.dim = 0
         self.batch_size = batch_size
         self.precision = precision
         self.mode = mode
+        self.rerank_mult = rerank_mult
 
     def name(self) -> str:
         return "Brute-Force Engine"
@@ -87,6 +111,18 @@ class BruteForceEngine(Engine):
                 from expann_tpu.ops.pallas_topk import flat_topk_prepare
 
                 self._x_fused, self._n_fused = flat_topk_prepare(x)
+            elif self.mode == "fused_i8":
+                from expann_tpu.ops.pallas_topk import quantize_corpus_i8
+
+                (
+                    self._x_fused,
+                    self._i8_center,
+                    self._i8_scale,
+                    self._n_fused,
+                ) = quantize_corpus_i8(x)
+                # exact-rerank corpus
+                self._x = jnp.asarray(x)
+                self._x_norms = squared_norms(self._x)
             else:
                 self._x = jnp.asarray(x)
                 self._x_norms = squared_norms(self._x)
@@ -94,9 +130,11 @@ class BruteForceEngine(Engine):
     def _query_fused(self, q: np.ndarray, k: int) -> np.ndarray:
         import jax
 
-        from expann_tpu.ops.pallas_topk import flat_topk
+        from expann_tpu.ops.pallas_topk import flat_topk, quantize_query_i8
 
         interpret = jax.default_backend() not in ("tpu", "axon")
+        i8 = self.mode == "fused_i8"
+        scan_k = min(self.rerank_mult * k, 128) if i8 else k
         tile = 256
         out = []
         # per-call overhead dominates this kernel (measured ~230ms per
@@ -111,14 +149,25 @@ class BruteForceEngine(Engine):
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, q.shape[1]), np.float32)]
                 )
+            qk = (
+                jnp.asarray(
+                    quantize_query_i8(chunk, self._i8_center, self._i8_scale)
+                )
+                if i8
+                else jnp.asarray(chunk)
+            )
             ids, _ = flat_topk(
-                jnp.asarray(chunk),
+                qk,
                 self._x_fused,
                 n_real=self._n_fused,
-                k=k,
+                k=scan_k,
                 query_tile=tile,
                 interpret=interpret,
             )
+            if i8:
+                ids, _ = _rerank_exact(
+                    jnp.asarray(chunk), self._x, self._x_norms, ids, k=k
+                )
             out.append(np.asarray(ids)[:real])
         return np.concatenate(out, axis=0)
 
@@ -133,7 +182,7 @@ class BruteForceEngine(Engine):
         q = pad_dim(q, width)
         if q.shape[-1] != width:
             raise ValueError("query dim exceeds corpus dim")
-        if self.mode == "fused":
+        if self.mode in ("fused", "fused_i8"):
             return self._query_fused(q, k)
         out = []
         bs = self.batch_size

@@ -65,6 +65,11 @@ class GraphIndex:
     # affine quantization params (ranged-q8 mode); None => plain cast codes
     quant_scale: Optional[jax.Array] = None  # () f32
     quant_offset: Optional[jax.Array] = None  # () f32
+    # packed-neighbour serving layout (derived from adj_bottom on demand;
+    # never persisted — see ops/pallas_beam.py): (N+1, Rp, D_pad) vectors
+    # and (N+1, 2, Rp) norm/id aux rows, Rp = adj width padded to 128.
+    packed: Optional[jax.Array] = None
+    packed_aux: Optional[jax.Array] = None
 
     @property
     def n(self) -> int:
@@ -85,6 +90,8 @@ class GraphIndex:
             self.code_norms,
             self.quant_scale,
             self.quant_offset,
+            self.packed,
+            self.packed_aux,
         )
         return children, None
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from expann_tpu.models.graph import GraphIndex
 from expann_tpu.ops.distance import batched_neighbour_dist2, squared_norms
+from expann_tpu.ops.pallas_beam import packed_score
 
 INF = jnp.inf
 
@@ -46,6 +47,36 @@ def _gather_dist2(data, data_norms, ids, q, qn, precision):
     nvecs = data[ids].astype(jnp.float32)
     nnorms = data_norms[ids]
     return batched_neighbour_dist2(q, nvecs, nnorms, q_norms=qn, precision=precision)
+
+
+def _gather_score_ortho(
+    data, data_norms, ids, q, qn,
+    chosen_v, chosen_n, chosen_valid, ortho_factor, ortho_bias, precision,
+):
+    """Ortho-penalized scoring of gathered candidates (the construction-time
+    ``use_ortho`` branch of the reference's query_k_at_layer,
+    src/antitopo_engine.h:342-351):
+
+        score(c) = d2(q,c) + sum over chosen p of
+            [d2(p,c) < d2(q,c)] * (ortho_factor * (d2(q,c) - d2(p,c))
+                                   + ortho_bias)
+
+    ``chosen_v``/``chosen_n``: (B, OC, D) / (B, OC) pre-gathered entry
+    points; invalid columns are masked by ``chosen_valid``.  Candidates at
+    +inf stay +inf (0 * inf guards below).
+    """
+    nvecs = data[ids].astype(jnp.float32)
+    nnorms = data_norms[ids]
+    d2 = batched_neighbour_dist2(q, nvecs, nnorms, q_norms=qn, precision=precision)
+    co_dots = jnp.einsum(
+        "bod,bkd->bok", chosen_v, nvecs,
+        preferred_element_type=jnp.float32,
+    )  # (B, OC, K)
+    co = chosen_n[:, :, None] + nnorms[:, None, :] - 2.0 * co_dots
+    d2b = d2[:, None, :]
+    hit = (co < d2b) & chosen_valid[:, :, None] & jnp.isfinite(d2b)
+    pen = jnp.where(hit, ortho_factor * (d2b - co) + ortho_bias, 0.0)
+    return d2 + jnp.sum(pen, axis=1)
 
 
 def greedy_descent(
@@ -99,6 +130,14 @@ def beam_search(
     sentinel: int,
     precision: str = "highest",
     expand: int = 1,
+    packed: jax.Array | None = None,
+    packed_aux: jax.Array | None = None,
+    packed_topt: int = 0,
+    interpret: bool = False,
+    ortho_chosen: jax.Array | None = None,
+    ortho_valid: jax.Array | None = None,
+    ortho_factor: float = 0.5,
+    ortho_bias: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched best-first beam search on one graph layer.
 
@@ -109,14 +148,39 @@ def beam_search(
       q: ``(B, D)`` query block; qn: ``(B,)`` its squared norms.
       ep_ids: ``(B, E0)`` entry points.
       ef: beam width (the reference's ``ef_search`` / ``ef_construction``).
+      packed/packed_aux: optional packed-neighbour arrays
+        (ops/pallas_beam.py); when given, neighbour expansion runs through
+        the block-DMA Pallas kernel instead of XLA row gathers (~20x fewer
+        HBM row-fetch stalls), scoring against the packed (bf16) vectors.
+      ortho_chosen/ortho_valid: optional (B, OC) previously-chosen entry
+        points; when given, every candidate is scored with the reference's
+        construction-time ortho penalty (mutually exclusive with packed).
 
     Returns ``(beam_ids, beam_d, num_distcomps)`` with beams sorted by
     ascending distance; padding entries carry id ``sentinel`` and d ``+inf``.
     """
     B, E0 = ep_ids.shape
-    R = adj.shape[1]
+    R = packed.shape[1] if packed is not None else adj.shape[1]
 
-    ep_d = _gather_dist2(data, data_norms, ep_ids, q, qn, precision)
+    if ortho_chosen is not None:
+        assert packed is None, "ortho scoring uses the XLA gather path"
+        safe = jnp.minimum(ortho_chosen, sentinel)
+        chosen_v = data[safe].astype(jnp.float32)  # (B, OC, D)
+        chosen_n = data_norms[safe]
+
+        def score(ids_):
+            return _gather_score_ortho(
+                data, data_norms, ids_, q, qn,
+                chosen_v, chosen_n, ortho_valid,
+                ortho_factor, ortho_bias, precision,
+            )
+
+    else:
+
+        def score(ids_):
+            return _gather_dist2(data, data_norms, ids_, q, qn, precision)
+
+    ep_d = score(ep_ids)
     # Dedup entry points (duplicate seeds would corrupt beam-dedup later).
     if E0 > 1:
         same = ep_ids[:, :, None] == ep_ids[:, None, :]
@@ -179,24 +243,36 @@ def beam_search(
         )
         beam_exp = beam_exp | (onehot & valid_sel[:, :, None]).any(axis=1)
 
-        nbrs = adj[sel].reshape(B, E * R)  # rows `sentinel` are all-sentinel
-        nd = _gather_dist2(data, data_norms, nbrs, q, qn, precision)
-        ncomp = ncomp + jnp.sum(
-            jnp.sum(nbrs != sentinel, axis=-1).astype(ncomp.dtype)
-        )
+        if packed is not None:
+            raw_d, nbrs = packed_score(
+                packed, packed_aux, sel, q,
+                topt=packed_topt, interpret=interpret,
+            )  # (B, E*K): |x|^2 - 2 q.x, sentinel slots +inf / id sentinel
+            nd = raw_d + qn[:, None]
+            # distcomp semantics for the packed engine: the MXU really
+            # scores all R packed slots per expanded node (incl. adjacency
+            # padding), regardless of how many survive top-t extraction.
+            ncomp = ncomp + R * jnp.sum((sel != sentinel).astype(ncomp.dtype))
+        else:
+            nbrs = adj[sel].reshape(B, E * R)  # sentinel rows: all-sentinel
+            nd = score(nbrs)
+            ncomp = ncomp + jnp.sum(
+                jnp.sum(nbrs != sentinel, axis=-1).astype(ncomp.dtype)
+            )
+        K = nbrs.shape[1]  # E*R, or E*topt in packed top-t mode
         dup = (nbrs[:, :, None] == beam_ids[:, None, :]).any(-1)
-        if E > 1:
+        if E > 1 or K != R:
             # dedup within the gathered block (two expanded vertices may
             # share a neighbour): keep only the first occurrence.
             same = nbrs[:, :, None] == nbrs[:, None, :]
-            earlier = jnp.tril(jnp.ones((E * R, E * R), bool), k=-1)[None]
+            earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)[None]
             dup = dup | (same & earlier).any(-1)
         nd = jnp.where(dup, INF, nd)
 
         all_d = jnp.concatenate([beam_d, nd], axis=1)
         all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         all_exp = jnp.concatenate(
-            [beam_exp, jnp.zeros((B, E * R), bool)], axis=1
+            [beam_exp, jnp.zeros((B, K), bool)], axis=1
         ).astype(jnp.int32)
         all_d, all_ids, all_exp = jax.lax.sort(
             (all_d, all_ids, all_exp), num_keys=1
@@ -228,7 +304,17 @@ def beam_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "max_iters", "precision", "compressed", "expand"),
+    static_argnames=(
+        "k",
+        "ef",
+        "max_iters",
+        "precision",
+        "compressed",
+        "expand",
+        "use_packed",
+        "packed_topt",
+        "interpret",
+    ),
 )
 def query_batch(
     graph: GraphIndex,
@@ -239,6 +325,9 @@ def query_batch(
     precision: str = "highest",
     compressed: bool = False,
     expand: int = 1,
+    use_packed: bool = False,
+    packed_topt: int = 0,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full batched query: descend upper layers greedily from the starting
     vertex, beam-search the bottom layer, return ``(ids, dists, distcomps)``
@@ -250,6 +339,12 @@ def query_batch(
     bottom beam; with ``compressed=True`` the beam scores uint8 codes with a
     floor()-truncated integer query (mirroring the uint32 cast at :726-737)
     and the final beam is exactly reranked in f32 (:845-848).
+
+    With ``use_packed=True`` (requires ``graph.packed``), the bottom beam
+    expands through the packed-neighbour Pallas kernel scoring bf16 blocks,
+    and — exactly like the compressed path — the final beam is reranked in
+    exact f32 before truncation to k.  ``compressed`` takes priority when
+    both are set.
     """
     ef = max(ef, k)
     if max_iters <= 0:
@@ -310,6 +405,31 @@ def query_batch(
             expand=expand,
         )
         # Exact f32 rerank of the final beam (src/antitopo_engine.h:845-848).
+        beam_d = _gather_dist2(
+            graph.vectors, graph.norms, beam_ids, q, qn, precision
+        )
+        beam_d, beam_ids = jax.lax.sort((beam_d, beam_ids), num_keys=1)
+    elif use_packed:
+        assert graph.packed is not None, "index has no packed-neighbour arrays"
+        beam_ids, _, ncomp = beam_search(
+            graph.vectors,
+            graph.norms,
+            graph.adj_bottom,
+            q,
+            qn,
+            ep[:, None],
+            ef=ef,
+            max_iters=max_iters,
+            sentinel=sentinel,
+            precision=precision,
+            expand=expand,
+            packed=graph.packed,
+            packed_aux=graph.packed_aux,
+            packed_topt=packed_topt,
+            interpret=interpret,
+        )
+        # Exact f32 rerank of the final beam — the packed traversal ranked
+        # by bf16 block scores; same pattern as the compressed path.
         beam_d = _gather_dist2(
             graph.vectors, graph.norms, beam_ids, q, qn, precision
         )

@@ -136,7 +136,7 @@ def _overflow_prune(
     donate_argnums=(2, 3),
     static_argnames=(
         "cap", "C", "ef_c", "max_iters", "prune_overflow", "overflow_rows",
-        "precision", "expand", "sentinel",
+        "precision", "expand", "sentinel", "ortho_count",
     ),
 )
 def _wave_step(
@@ -144,10 +144,19 @@ def _wave_step(
     cap: int, C: int, ef_c: int, max_iters: int,
     ortho_factor, ortho_bias, prune_overflow: int,
     overflow_rows: int, precision: str, expand: int, sentinel: int,
+    ortho_count: int = 1,
 ):
     """One fused wave insert: beam-search candidates against the prefix,
     anti-topo prune, scatter forward + reverse edges, re-prune the fullest
-    destinations.  Single dispatch; adjacency and counts buffers donated."""
+    destinations.  Single dispatch; adjacency and counts buffers donated.
+
+    With ``ortho_count > 1``, each wave node runs that many beam searches:
+    pass i >= 1 scores with the ortho penalty against the first-place
+    results of previous passes, is seeded by the previous pass's beam, and
+    the candidate union (each id keeping its best carried score) feeds the
+    prune — mirroring the reference's per-insert construction loop
+    (src/antitopo_engine.h:396-423; like the reference, penalized passes
+    carry penalized scores into the prune)."""
     wq = vectors[jnp.minimum(wave_ids, sentinel)]
     wqn = norms[jnp.minimum(wave_ids, sentinel)]
     W = wave_ids.shape[0]
@@ -158,6 +167,43 @@ def _wave_step(
         ef=ef_c, max_iters=max_iters, sentinel=sentinel,
         precision=precision, expand=expand,
     )
+
+    if ortho_count > 1:
+        all_ids, all_d = [cand_ids], [cand_d]
+        chosen_cols = [cand_ids[:, 0]]
+        seeds = cand_ids
+        for i in range(1, ortho_count):
+            # dedup the chosen list like the reference's new_cur
+            # (src/antitopo_engine.h:407-413)
+            valid_cols = [jnp.ones((W,), bool)]
+            for jj in range(1, i):
+                dupj = jnp.zeros((W,), bool)
+                for kk in range(jj):
+                    dupj = dupj | (chosen_cols[jj] == chosen_cols[kk])
+                valid_cols.append(~dupj)
+            ids_i, d_i, _ = beam_search(
+                vectors, norms, adj, wq, wqn, seeds,
+                ef=ef_c, max_iters=max_iters, sentinel=sentinel,
+                precision=precision, expand=expand,
+                ortho_chosen=jnp.stack(chosen_cols, axis=1),
+                ortho_valid=jnp.stack(valid_cols, axis=1),
+                ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+            )
+            all_ids.append(ids_i)
+            all_d.append(d_i)
+            chosen_cols.append(ids_i[:, 0])
+            seeds = ids_i
+        u_ids = jnp.concatenate(all_ids, axis=1)
+        u_d = jnp.concatenate(all_d, axis=1)
+        # union keeping each id's best score: group by id, mask repeats
+        u_ids, u_d = jax.lax.sort((u_ids, u_d), num_keys=2)
+        rep = jnp.concatenate(
+            [jnp.zeros((W, 1), bool), u_ids[:, 1:] == u_ids[:, :-1]], axis=1
+        )
+        u_d = jnp.where(rep, INF, u_d)
+        u_ids = jnp.where(rep, sentinel, u_ids)
+        cand_d, cand_ids = jax.lax.sort((u_d, u_ids), num_keys=2)
+
     cand_ids = cand_ids[:, :C]
     cand_d = cand_d[:, :C]
 
@@ -266,7 +312,7 @@ def build_index_wave(
             ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
             prune_overflow=cfg.prune_overflow,
             overflow_rows=128, precision=cfg.precision, expand=4,
-            sentinel=sentinel,
+            sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
         if verbose and wave_idx % 32 == 0:
             jax.block_until_ready(counts)

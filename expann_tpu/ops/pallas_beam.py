@@ -1,0 +1,230 @@
+"""Packed-neighbour beam expansion: indexed block-DMA + MXU scoring.
+
+The graph query hot loop must, per iteration, fetch the neighbour vectors
+of each expanded node and score them against the query (reference hot
+loop: src/antitopo_engine.h:637-688 — pointer-chasing loads + AVX-512
+distance batches).  Round-1 measured XLA's random-row gather at a flat
+~24ns per row (~21GB/s) on this chip, which capped the graph engine at
+~4k QPS.  tools/perf_pallas_gather.py shows explicit Pallas DMAs of
+*contiguous packed blocks* reach 170-235GB/s (1-2ns/row) — so the fix is
+a layout change plus a kernel:
+
+  * ``packed``: ``(N+1, R, D)`` neighbour vectors stored contiguously per
+    node (bf16 for serving; R× corpus duplication is the price of
+    streaming-rate fetches).
+  * ``aux``: ``(N+1, 2, R)`` f32 — row 0 the neighbours' squared norms
+    (+inf at sentinel slots, so padding masks itself), row 1 the
+    neighbour ids stored as exact f32 values (requires N < 2^24).
+  * kernel: grid over 8-query tiles (TPU sublane granularity); each step
+    issues ``2*8*E`` async copies (the tile's expanded nodes' vector
+    blocks + aux rows) with an NBUF-deep lookahead pipeline, then runs
+    8E small MXU dots.
+
+Output is ``nn - 2 q·x`` per neighbour; the caller adds ``|q|^2``
+(cheaper than an in-kernel 128-lane reduction per step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QT = 8  # queries per grid step (sublane granularity)
+
+
+def _beam_score_kernel(
+    sel_ref,  # (B*E,) int32 scalar-prefetch: nodes to expand
+    q_ref,  # (QT, D) f32 query tile
+    packed_ref,  # (N+1, R, D) storage dtype, HBM
+    aux_ref,  # (N+1, 2, R) f32, HBM
+    out_d_ref,  # (QT*E, R or TOPT) f32: nn - 2 q.x
+    out_i_ref,  # (QT*E, R or TOPT) int32 neighbour ids
+    vbuf,  # VMEM (NBUF, QT, E, R, D)
+    abuf,  # VMEM (NBUF, QT, E, 2, R) f32
+    sems,  # DMA sems (NBUF, QT, E, 2)
+    *,
+    E: int,
+    NBUF: int,
+    TOPT: int,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copies(step):
+        slot = jax.lax.rem(step, NBUF)
+        cs = []
+        for qi in range(QT):
+            for e in range(E):
+                node = sel_ref[(step * QT + qi) * E + e]
+                cs.append(
+                    pltpu.make_async_copy(
+                        packed_ref.at[node],
+                        vbuf.at[slot, qi, e],
+                        sems.at[slot, qi, e, 0],
+                    )
+                )
+                cs.append(
+                    pltpu.make_async_copy(
+                        aux_ref.at[node],
+                        abuf.at[slot, qi, e],
+                        sems.at[slot, qi, e, 1],
+                    )
+                )
+        return cs
+
+    @pl.when(i == 0)
+    def _prologue():
+        for s in range(NBUF - 1):
+            for c in copies(s):
+                c.start()
+
+    @pl.when(i + NBUF - 1 < n)
+    def _lookahead():
+        for c in copies(i + NBUF - 1):
+            c.start()
+
+    for c in copies(i):
+        c.wait()
+
+    slot = jax.lax.rem(i, NBUF)
+    q = q_ref[...].astype(vbuf.dtype)  # (QT, D)
+    d_rows = []
+    i_rows = []
+    for qi in range(QT):
+        qv = q[qi : qi + 1]  # (1, D), static slice
+        for e in range(E):
+            dot = jax.lax.dot_general(
+                qv,
+                vbuf[slot, qi, e],  # (R, D)
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, R)
+            d_rows.append(abuf[slot, qi, e, 0:1, :] - 2.0 * dot)
+            i_rows.append(abuf[slot, qi, e, 1:2, :])
+    d_all = jnp.concatenate(d_rows, axis=0)  # (QT*E, R)
+    i_all = jnp.concatenate(i_rows, axis=0).astype(jnp.int32)
+    if TOPT == 0:
+        out_d_ref[...] = d_all
+        out_i_ref[...] = i_all
+        return
+
+    # Per-row top-TOPT extraction (same min-extract pattern as
+    # ops/pallas_topk.py): each expanded node's R scored neighbours are
+    # reduced to its best TOPT before leaving the kernel, shrinking the
+    # caller's per-iteration merge sort by R/TOPT.  Row-wise 128-lane
+    # reductions on a (QT*E, R) block are single-vreg ops — this hides
+    # entirely under the DMA pipeline.
+    R = d_all.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d_all.shape, 1)
+    BIG = jnp.int32(2**31 - 1)
+    td, ti = [], []
+    for _ in range(TOPT):
+        m = jnp.min(d_all, axis=1, keepdims=True)  # (QT*E, 1)
+        is_min = d_all == m  # +inf rows: all lanes (sentinel ids tie-break)
+        lane_sel = jnp.min(jnp.where(is_min, lane, BIG), axis=1, keepdims=True)
+        sel = lane == lane_sel
+        td.append(m)
+        ti.append(jnp.min(jnp.where(sel, i_all, BIG), axis=1, keepdims=True))
+        d_all = jnp.where(sel, jnp.inf, d_all)
+    out_d_ref[...] = jnp.concatenate(td, axis=1)
+    out_i_ref[...] = jnp.concatenate(ti, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nbuf", "topt", "interpret"))
+def packed_score(
+    packed: jax.Array,  # (N+1, R, D) storage dtype
+    aux: jax.Array,  # (N+1, 2, R) f32
+    sel: jax.Array,  # (B, E) int32 nodes to expand (sentinel ok)
+    q: jax.Array,  # (B, D) f32
+    nbuf: int = 2,
+    topt: int = 0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Score the R packed neighbours of each selected node against its
+    query.  Returns ``(partial_d, ids)`` of shape ``(B, E*R)`` where
+    ``partial_d = |x|^2 - 2 q·x`` (add ``|q|^2`` for the squared L2) and
+    sentinel-padded slots carry ``+inf`` / the sentinel id.
+
+    With ``topt=t > 0``, each expanded node contributes only its t best
+    neighbours (extracted in-kernel): output shape ``(B, E*t)``, ascending
+    per node — cuts the caller's merge width by R/t."""
+    _, R, D = packed.shape
+    B, E = sel.shape
+    K = topt if topt else R
+    assert 0 <= topt <= R
+    assert q.shape == (B, D), (q.shape, (B, D))
+    assert B % QT == 0, f"query batch must be a multiple of {QT}"
+    nbuf = max(1, min(nbuf, B // QT))  # pipeline no deeper than the grid
+    vbuf_bytes = nbuf * QT * E * R * D * packed.dtype.itemsize
+    # measured on v5e: 8MB vbuf + aux + pipeline buffers exceeds the
+    # scoped-VMEM budget; 4MB (e.g. E=8, R=128, bf16, nbuf=2) fits
+    assert vbuf_bytes <= 4 * 2**20, (
+        f"VMEM scratch {vbuf_bytes} too large; lower expand/nbuf"
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // QT,),
+        in_specs=[
+            pl.BlockSpec((QT, D), lambda i, ids: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((QT * E, K), lambda i, ids: (i, 0)),
+            pl.BlockSpec((QT * E, K), lambda i, ids: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, QT, E, R, D), packed.dtype),
+            pltpu.VMEM((nbuf, QT, E, 2, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf, QT, E, 2)),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_beam_score_kernel, E=E, NBUF=nbuf, TOPT=topt),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * E, K), jnp.float32),
+            jax.ShapeDtypeStruct((B * E, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sel.reshape(-1), q, packed, aux)
+    return out_d.reshape(B, E * K), out_i.reshape(B, E * K)
+
+
+def build_packed(
+    vectors: jax.Array,  # (N+1, D) f32 corpus w/ sentinel row
+    norms: jax.Array,  # (N+1,) f32, norms[N] = +inf
+    adj: jax.Array,  # (N+1, R) int32, sentinel N padding
+    dtype=jnp.bfloat16,
+    chunk: int = 32768,
+) -> Tuple[jax.Array, jax.Array]:
+    """Materialize the packed-neighbour arrays from a built graph.
+
+    Chunked so the f32 gather intermediate never exceeds
+    ``chunk * R * D * 4`` bytes.  R is padded up to a multiple of 128
+    with sentinel slots (Mosaic tiling requires lane-aligned aux rows).
+    Ids are stored as exact f32 values (N < 2^24 enforced)."""
+    np1 = vectors.shape[0]
+    sentinel = np1 - 1
+    assert sentinel < (1 << 24), "f32-encoded ids require N < 2^24"
+    r = adj.shape[1]
+    r_pad = (-r) % 128
+    if r_pad:
+        adj = jnp.concatenate(
+            [adj, jnp.full((np1, r_pad), sentinel, adj.dtype)], axis=1
+        )
+    packed_parts = []
+    aux_parts = []
+    for s in range(0, np1, chunk):
+        a = adj[s : s + chunk]  # (c, R)
+        packed_parts.append(vectors[a].astype(dtype))  # (c, R, D)
+        aux_parts.append(
+            jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)  # (c, 2, R)
+        )
+    return jnp.concatenate(packed_parts), jnp.concatenate(aux_parts)

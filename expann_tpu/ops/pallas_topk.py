@@ -61,19 +61,34 @@ def _topk_merge_kernel(
 
     q = q_ref[:]
     Bt = q.shape[0]
-    qf = q.astype(jnp.float32)
-    qn = jnp.sum(qf * qf, axis=1, keepdims=True)  # (Bt, 1)
-
     x = x_ref[:]
-    dots = jax.lax.dot_general(
-        q,
-        x,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    xf = x.astype(jnp.float32)
-    xn = jnp.sum(xf * xf, axis=1)[None, :]  # (1, G)
-    dd = qn + xn - 2.0 * dots  # (Bt, G)
+    if q.dtype == jnp.int8:
+        # s8 x s8 -> s32 MXU path (2x bf16 peak, half the HBM stream).
+        # Max |code| 127 and D <= 512 keep dd < 2^24, so the f32
+        # conversion below is EXACT and the extraction logic is shared.
+        dots = jax.lax.dot_general(
+            q,
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qi = q.astype(jnp.int32)
+        qn = jnp.sum(qi * qi, axis=1, keepdims=True)
+        xi = x.astype(jnp.int32)
+        xn = jnp.sum(xi * xi, axis=1)[None, :]
+        dd = (qn + xn - 2 * dots).astype(jnp.float32)  # (Bt, G)
+    else:
+        dots = jax.lax.dot_general(
+            q,
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qf = q.astype(jnp.float32)
+        qn = jnp.sum(qf * qf, axis=1, keepdims=True)  # (Bt, 1)
+        xf = x.astype(jnp.float32)
+        xn = jnp.sum(xf * xf, axis=1)[None, :]  # (1, G)
+        dd = qn + xn - 2.0 * dots  # (Bt, G)
     col = jax.lax.broadcasted_iota(jnp.int32, (Bt, G), 1)
     dd = jnp.where(j * G + col >= n_real, NEG_BIG, dd)
 
@@ -155,7 +170,13 @@ def flat_topk(
     B, D = q.shape
     N_pad = x.shape[0]
     assert B % query_tile == 0 and N_pad % corpus_block == 0
-    qc = q.astype(x.dtype)
+    if x.dtype == jnp.int8:
+        # int8 corpora need properly quantized queries (round, not
+        # truncate) — quantize with quantize_corpus_i8's scale upstream
+        assert q.dtype == jnp.int8, "int8 corpus requires int8 queries"
+        qc = q
+    else:
+        qc = q.astype(x.dtype)
 
     grid = (B // query_tile, N_pad // corpus_block)
     kernel = functools.partial(
@@ -206,3 +227,35 @@ def flat_topk_prepare(
     if pad:
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
     return jnp.asarray(x, dtype), n
+
+
+def quantize_corpus_i8(
+    x: np.ndarray, corpus_block: int = 1024
+) -> Tuple[jax.Array, np.ndarray, float, int]:
+    """Symmetric centered int8 codes for the s8 MXU flat scan.
+
+    Distances are shift-invariant, so centering by the corpus mean costs
+    nothing; the common scale makes integer distances a monotonic
+    s^2-multiple of true distances.  Returns
+    ``(codes_dev, center, scale, n)``; quantize queries with
+    ``quantize_query_i8(q, center, scale)``.
+    """
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    center = x.mean(axis=0)
+    xc = x - center
+    absmax = float(np.abs(xc).max()) or 1.0
+    scale = 127.0 / absmax
+    codes = np.clip(np.rint(xc * scale), -127, 127).astype(np.int8)
+    pad = (-n) % corpus_block
+    if pad:
+        codes = np.concatenate(
+            [codes, np.zeros((pad, codes.shape[1]), np.int8)]
+        )
+    return jnp.asarray(codes), center, scale, n
+
+
+def quantize_query_i8(q: np.ndarray, center: np.ndarray, scale: float) -> np.ndarray:
+    return np.clip(
+        np.rint((np.asarray(q, np.float32) - center) * scale), -127, 127
+    ).astype(np.int8)

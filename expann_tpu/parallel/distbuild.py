@@ -1,0 +1,441 @@
+"""Distributed construction of ONE global graph over a device mesh.
+
+``build_sharded`` (parallel/sharded.py) builds S independent sub-indexes
+and merges their results at query time.  This module instead builds a
+single global anti-topo graph whose edges cross shards — the integrated
+distributed build loop (SURVEY.md section 5 "Distributed communication
+backend"; the reference has no distributed counterpart, its insert loop is
+src/antitopo_engine.h:310-465):
+
+  * the corpus and the global adjacency are row-sharded over the mesh:
+    ``(S, n_shard + 1, ...)`` arrays with ``NamedSharding(P("shard"))``;
+    adjacency entries are GLOBAL ids (``shard * n_shard + local``),
+  * inserts proceed in waves against the already-inserted prefix
+    (``frontier`` masking), exactly like models/wavebuild.py — but
+    candidate generation is *corpus-sharded and dense-exact*: every chip
+    MXU-scores the replicated wave against its shard and the per-shard
+    top-C lists are all-gathered over ICI and merged (one-shot-quality
+    candidates at 1/S the per-chip cost),
+  * the anti-topo prune runs replicated on the merged candidates (W and C
+    are small); forward rows are scattered to the wave nodes' owning
+    shards and reverse edges to the destinations' owning shards — XLA
+    inserts the cross-shard collectives from the sharding annotations,
+  * the fullest rows are re-pruned each wave (deferred lazy prune,
+    reference src/antitopo_engine.h:270-307), with a final sweep.
+
+The result is assembled into a standard single-graph ``GraphIndex`` (the
+sharded arrays keep serving multi-chip via replicated_query_dp, or the
+graph can be queried single-chip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P, Mesh
+
+from expann_tpu.models.build import (
+    BuildConfig,
+    _build_layer,
+    _round_up,
+    build_upper_layers,
+    draw_levels,
+)
+from expann_tpu.models.graph import GraphIndex, make_corpus
+from expann_tpu.models.prune import antitopo_prune, pairwise_co_dist
+from expann_tpu.ops.distance import pairwise_dist2, squared_norms
+from expann_tpu.parallel.sharded import AXIS, make_mesh
+
+INF = jnp.inf
+
+
+def _g2sl(gid, n_shard: int, S: int):
+    """Global id -> (shard, local); the global sentinel S*n_shard maps to
+    the last shard's sentinel row (whose stored norm is +inf)."""
+    shard = jnp.minimum(gid // n_shard, S - 1)
+    local = jnp.where(gid >= S * n_shard, n_shard, gid % n_shard)
+    return shard, local
+
+
+def _gather_vec(vectors, norms, gid, n_shard: int):
+    """Gather (vec, norm) rows of global ids from the sharded corpus; XLA
+    inserts the cross-shard collectives."""
+    S = vectors.shape[0]
+    s, l = _g2sl(gid, n_shard, S)
+    return vectors[s, l], norms[s, l]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "cap", "prune_overflow", "overflow_rows",
+                     "n_shard", "mesh", "precision", "reverse"),
+    donate_argnums=(2, 3),
+)
+def _dist_wave_step(
+    vectors, norms, adj, counts, wave_q, wave_gids, frontier,
+    C: int, cap: int, ortho_factor, ortho_bias, prune_overflow: int,
+    overflow_rows: int, n_shard: int, mesh: Mesh, precision: str,
+    reverse: bool = True,
+):
+    """One fused distributed insert wave (single dispatch; adjacency and
+    counts donated).  ``wave_q``: (W, D) replicated wave vectors;
+    ``wave_gids``: (W,) global ids (GSENT padding); ``frontier``: only
+    global ids < frontier are candidate targets (pass n for one-shot
+    waves — the wave node itself is always excluded)."""
+    S = vectors.shape[0]
+    GSENT = S * n_shard
+    W = wave_q.shape[0]
+    R = adj.shape[-1]
+
+    # ---- corpus-sharded dense candidate generation ----
+    def per_shard(vec, nrm, wq, wgids, frontier):
+        vec, nrm = vec[0], nrm[0]
+        qn = squared_norms(wq)
+        d2 = pairwise_dist2(
+            wq, vec[:n_shard], x_norms=nrm[:n_shard], q_norms=qn,
+            precision=precision,
+        )
+        shard_id = jax.lax.axis_index(AXIS)
+        lids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        gid = shard_id * n_shard + lids
+        d2 = jnp.where(
+            (gid < frontier) & (gid != wgids[:, None]), d2, INF
+        )
+        d2s, gids_s = jax.lax.sort((d2, gid), num_keys=1)
+        return gids_s[:, :C][None], d2s[:, :C][None]
+
+    gids, gd = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+    )(vectors, norms, wave_q, wave_gids, frontier)
+    cat_d = jnp.transpose(gd, (1, 0, 2)).reshape(W, S * C)
+    cat_i = jnp.transpose(gids, (1, 0, 2)).reshape(W, S * C)
+    cat_d, cat_i = jax.lax.sort((cat_d, cat_i), num_keys=1)
+    cand_d, cand_ids = cat_d[:, :C], cat_i[:, :C]
+    cand_ids = jnp.where(jnp.isfinite(cand_d), cand_ids, GSENT)
+
+    # ---- replicated anti-topo prune of the merged candidates ----
+    cvecs, cnorms = _gather_vec(vectors, norms, cand_ids, n_shard)
+    cnorms = jnp.where(jnp.isfinite(cand_d), cnorms, INF)
+    co = pairwise_co_dist(cvecs, cnorms, precision)
+    sel_ids, sel_d = antitopo_prune(
+        cand_ids, cand_d, co,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=GSENT,
+    )
+
+    # ---- forward rows to the wave nodes' owning shards ----
+    row = jnp.full((W, R), GSENT, jnp.int32).at[:, :cap].set(sel_ids)
+    ws, wl = _g2sl(wave_gids, n_shard, S)
+    ws = jnp.where(wave_gids >= GSENT, S, ws)  # padding -> dropped
+    adj = adj.at[ws, wl].set(row, mode="drop")
+    counts = counts.at[ws, wl].set(
+        jnp.sum(sel_ids != GSENT, axis=1), mode="drop"
+    )
+    if not reverse:
+        return adj, counts
+
+    adj, counts = _reverse_scatter(
+        adj, counts, wave_gids, sel_ids, sel_d, n_shard
+    )
+
+    # ---- deferred lazy prune of the fullest rows ----
+    flat_counts = counts[:, :n_shard].reshape(-1)
+    top_counts, rows = jax.lax.top_k(flat_counts, overflow_rows)
+    rows = jnp.where(top_counts > cap, rows, GSENT)
+    adj, counts = _dist_overflow_prune(
+        vectors, norms, adj, counts, rows,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, n_shard=n_shard, precision=precision,
+    )
+    return adj, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap", "prune_overflow", "overflow_rows",
+                     "n_shard", "precision"),
+    donate_argnums=(2, 3),
+)
+def _dist_reverse_step(
+    vectors, norms, adj, counts, wave_gids,
+    cap: int, ortho_factor, ortho_bias, prune_overflow: int,
+    overflow_rows: int, n_shard: int, precision: str,
+):
+    """One-shot phase 2: read the wave nodes' (already final) forward rows,
+    recompute their edge distances, append the reverse edges to the
+    destinations' owning shards, then re-prune the fullest rows.  Mirrors
+    the one-shot builder's reverse pass (models/build.py) — no per-wave
+    edge-list storage is needed because distances are recomputable."""
+    S = vectors.shape[0]
+    GSENT = S * n_shard
+    ws, wl = _g2sl(wave_gids, n_shard, S)
+    fwd = adj[ws, wl][:, :cap]  # (W, cap) global ids
+    fwd = jnp.where(wave_gids[:, None] >= GSENT, GSENT, fwd)
+    qv, qn = _gather_vec(vectors, norms, wave_gids, n_shard)
+    dv, dn = _gather_vec(vectors, norms, fwd, n_shard)
+    sel_d = (
+        qn[:, None]
+        + dn
+        - 2.0
+        * jnp.einsum("wd,wcd->wc", qv, dv, preferred_element_type=jnp.float32)
+    )
+    sel_d = jnp.where(fwd == GSENT, INF, sel_d)
+    adj, counts = _reverse_scatter(adj, counts, wave_gids, fwd, sel_d, n_shard)
+
+    flat_counts = counts[:, :n_shard].reshape(-1)
+    top_counts, rows = jax.lax.top_k(flat_counts, overflow_rows)
+    rows = jnp.where(top_counts > cap, rows, GSENT)
+    return _dist_overflow_prune(
+        vectors, norms, adj, counts, rows,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, n_shard=n_shard, precision=precision,
+    )
+
+
+def _reverse_scatter(adj, counts, src_gids, sel_ids, sel_d, n_shard: int):
+    """Append reverse edges (dst <- src) into free adjacency slots of the
+    destinations' owning shards (sort-grouped, same scheme as
+    models/wavebuild._reverse_append)."""
+    S = adj.shape[0]
+    GSENT = S * n_shard
+    W, cap = sel_ids.shape
+    R = adj.shape[-1]
+    src = jnp.broadcast_to(src_gids[:, None], (W, cap)).reshape(-1)
+    dst = sel_ids.reshape(-1)
+    d = sel_d.reshape(-1)
+    dst = jnp.where(jnp.isfinite(d) & (src < GSENT), dst, GSENT)
+    dst_s, d_s, src_s = jax.lax.sort((dst, d, src), num_keys=3)
+    first = jnp.concatenate([jnp.ones((1,), bool), dst_s[1:] != dst_s[:-1]])
+    idx = jnp.arange(dst_s.shape[0], dtype=jnp.int32)
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0)
+    )
+    pos = idx - group_start
+    ds_, dl_ = _g2sl(dst_s, n_shard, S)
+    write_pos = counts[ds_, dl_] + pos
+    ok = (dst_s != GSENT) & (write_pos < R)
+    ds_w = jnp.where(ok, ds_, S)  # drop out-of-range rows
+    adj = adj.at[ds_w, dl_, jnp.minimum(write_pos, R - 1)].set(
+        src_s, mode="drop"
+    )
+    counts = counts.at[ds_w, dl_].add(jnp.where(ok, 1, 0), mode="drop")
+    return adj, counts
+
+
+def _dist_overflow_prune(
+    vectors, norms, adj, counts, rows,
+    cap: int, ortho_factor, ortho_bias, prune_overflow: int,
+    n_shard: int, precision: str,
+):
+    """Re-prune a padded batch of global rows over their full edge lists
+    (rows == GSENT are padding and dropped on write)."""
+    S = vectors.shape[0]
+    GSENT = S * n_shard
+    R = adj.shape[-1]
+    rs, rl = _g2sl(rows, n_shard, S)
+    cand_ids = adj[rs, rl]  # (P, R) global ids
+    q, qn = _gather_vec(vectors, norms, rows, n_shard)
+    cand_d_v, cand_n = _gather_vec(vectors, norms, cand_ids, n_shard)
+    cand_d = (
+        qn[:, None]
+        + cand_n
+        - 2.0
+        * jnp.einsum(
+            "pd,prd->pr", q, cand_d_v, preferred_element_type=jnp.float32
+        )
+    )
+    cand_d = jnp.where(cand_ids == GSENT, INF, cand_d)
+    cand_d, cand_ids = jax.lax.sort((cand_d, cand_ids), num_keys=2)
+    cvecs, cnorms = _gather_vec(vectors, norms, cand_ids, n_shard)
+    cnorms = jnp.where(jnp.isfinite(cand_d), cnorms, INF)
+    co = pairwise_co_dist(cvecs, cnorms, precision)
+    sel_ids, _ = antitopo_prune(
+        cand_ids, cand_d, co,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=GSENT,
+    )
+    new_rows = jnp.full((rows.shape[0], R), GSENT, jnp.int32)
+    new_rows = new_rows.at[:, :cap].set(sel_ids)
+    rs_w = jnp.where(rows >= GSENT, S, rs)
+    adj = adj.at[rs_w, rl].set(new_rows, mode="drop")
+    counts = counts.at[rs_w, rl].set(
+        jnp.sum(sel_ids != GSENT, axis=1), mode="drop"
+    )
+    return adj, counts
+
+
+_dist_overflow_prune_jit = jax.jit(
+    _dist_overflow_prune,
+    static_argnames=("cap", "prune_overflow", "n_shard", "precision"),
+    donate_argnums=(2, 3),
+)
+
+
+def build_distributed(
+    x: np.ndarray,
+    cfg: Optional[BuildConfig] = None,
+    mesh: Optional[Mesh] = None,
+    wave_size: int = 1024,
+    bootstrap: int = 2048,
+    slack: int = 64,
+    mode: str = "oneshot",
+    verbose: bool = False,
+) -> Tuple[GraphIndex, dict]:
+    """Build one global graph with mesh-parallel waves.  Returns the
+    assembled single-graph ``GraphIndex`` plus a stats dict.
+
+    ``mode='oneshot'`` (default): candidates are dense-exact over the WHOLE
+    corpus (insertion-order-free, one-shot quality) — phase 1 writes every
+    node's pruned forward row, phase 2 derives the reverse edges from the
+    final forward rows.  ``mode='incremental'`` mirrors the reference's
+    insertion semantics: a one-shot bootstrap prefix, then waves whose
+    candidates come only from already-inserted nodes (frontier masking)."""
+    assert mode in ("oneshot", "incremental")
+    cfg = cfg or BuildConfig()
+    mesh = mesh or make_mesh()
+    S = mesh.devices.size
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    n_shard = (n + S - 1) // S
+    GSENT = S * n_shard
+    cap = cfg.M0
+    R = _round_up(cap + slack, 16)
+    C = min(cfg.prune_cand, cfg.ef_construction) if cfg.prune_cand else min(
+        cfg.ef_construction, 4 * cap
+    )
+
+    # sharded corpus: per-shard (n_shard + 1) rows, +inf-norm sentinel row;
+    # the last shard's unfilled rows are unreachable +inf-norm padding
+    vecs_full, norms_full = make_corpus(x)  # (n + 1, D_pad)
+    D_pad = vecs_full.shape[1]
+    v_host = np.zeros((S, n_shard + 1, D_pad), np.float32)
+    n_host = np.full((S, n_shard + 1), np.inf, np.float32)
+    vf = np.asarray(vecs_full[:n])
+    nf = np.asarray(norms_full[:n])
+    for s in range(S):
+        part = vf[s * n_shard : (s + 1) * n_shard]
+        v_host[s, : part.shape[0]] = part
+        n_host[s, : part.shape[0]] = nf[s * n_shard : s * n_shard + part.shape[0]]
+    sharding = NamedSharding(mesh, P(AXIS))
+    vectors = jax.device_put(jnp.asarray(v_host), sharding)
+    norms = jax.device_put(jnp.asarray(n_host), sharding)
+    adj = jax.device_put(
+        jnp.full((S, n_shard + 1, R), GSENT, jnp.int32), sharding
+    )
+    counts = jax.device_put(jnp.zeros((S, n_shard + 1), jnp.int32), sharding)
+
+    levels, max_layer, _ = draw_levels(n, cfg.M, cfg.seed)
+
+    if mode == "incremental":
+        # ---- bootstrap: exact one-shot on the first n0 rows (shard 0) ----
+        n0 = min(n, max(bootstrap, 2 * cap), n_shard)
+        boot = _build_layer(vecs_full[:n0], norms_full[:n0], cap=cap, cfg=cfg)
+        boot_rows = np.full((n0, R), GSENT, np.int32)
+        bootR = boot.shape[1]
+        boot_np = np.asarray(boot)
+        boot_rows[:, :bootR] = np.where(boot_np == n0, GSENT, boot_np)
+        adj = adj.at[0, :n0].set(jnp.asarray(boot_rows))
+        counts = counts.at[0, :n0].set(
+            jnp.asarray((boot_rows != GSENT).sum(1).astype(np.int32))
+        )
+    else:
+        n0 = 0
+
+    def waves(start):
+        i = start
+        while i < n:
+            W = min(wave_size, n - i)
+            gids_np = np.arange(i, i + W, dtype=np.int32)
+            if W < wave_size:
+                gids_np = np.concatenate(
+                    [gids_np, np.full(wave_size - W, GSENT, np.int32)]
+                )
+            wq = np.zeros((gids_np.shape[0], D_pad), np.float32)
+            wq[:W] = vf[i : i + W]
+            yield jnp.asarray(wq), jnp.asarray(gids_np), i
+            i += W
+
+    # ---- phase 1: candidates + prune + forward rows ----
+    for wq, gids_j, i in waves(n0):
+        frontier = jnp.int32(i if mode == "incremental" else n)
+        adj, counts = _dist_wave_step(
+            vectors, norms, adj, counts, wq, gids_j, frontier,
+            C=C, cap=cap, ortho_factor=cfg.ortho_factor,
+            ortho_bias=cfg.ortho_bias, prune_overflow=cfg.prune_overflow,
+            overflow_rows=128, n_shard=n_shard, mesh=mesh,
+            precision=cfg.precision, reverse=(mode == "incremental"),
+        )
+        if verbose:
+            jax.block_until_ready(counts)
+            print(f"distributed build fwd: {i}/{n}", flush=True)
+
+    # ---- phase 2 (one-shot): reverse edges from the final forward rows ----
+    if mode == "oneshot":
+        for _, gids_j, i in waves(0):
+            adj, counts = _dist_reverse_step(
+                vectors, norms, adj, counts, gids_j,
+                cap=cap, ortho_factor=cfg.ortho_factor,
+                ortho_bias=cfg.ortho_bias,
+                prune_overflow=cfg.prune_overflow,
+                overflow_rows=128, n_shard=n_shard,
+                precision=cfg.precision,
+            )
+            if verbose:
+                jax.block_until_ready(counts)
+                print(f"distributed build rev: {i}/{n}", flush=True)
+
+    # ---- final sweep: enforce the cap everywhere ----
+    # flattened (shard, local<n_shard) index IS the global id
+    counts_np = np.asarray(counts)[:, :n_shard].reshape(-1)
+    over = np.nonzero(counts_np > cap)[0].astype(np.int32)
+    Pb = 128
+    for r0 in range(0, over.size, Pb):
+        rows = over[r0 : r0 + Pb]
+        if rows.size < Pb:
+            rows = np.concatenate(
+                [rows, np.full(Pb - rows.size, GSENT, np.int32)]
+            )
+        adj, counts = _dist_overflow_prune_jit(
+            vectors, norms, adj, counts, jnp.asarray(rows),
+            cap=cap, ortho_factor=cfg.ortho_factor,
+            ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            n_shard=n_shard, precision=cfg.precision,
+        )
+
+    # ---- assemble the single global graph ----
+    adj_np = np.asarray(adj)  # (S, n_shard + 1, R)
+    R0 = _round_up(cap, 16)
+    rows = adj_np[:, :n_shard, :R0].reshape(S * n_shard, R0)[:n]
+    # ids >= n can only be last-shard padding rows or GSENT -> sentinel n
+    rows = np.where(rows >= n, n, rows).astype(np.int32)
+    adj_bottom = np.concatenate(
+        [rows, np.full((1, R0), n, np.int32)], axis=0
+    )
+
+    upper = build_upper_layers(vecs_full, norms_full, levels, max_layer, cfg)
+    n_med = max(n0, min(n, 4096))
+    mean = vf[:n_med].mean(0, keepdims=True)
+    medoid = int(np.argmin(((vf[:n_med] - mean) ** 2).sum(1)))
+    if upper:
+        members = np.nonzero(levels >= max_layer - 1)[0]
+        sv = int(members[0]) if members.size else medoid
+    else:
+        sv = medoid
+
+    graph = GraphIndex(
+        vectors=vecs_full,
+        norms=norms_full,
+        adj_bottom=jnp.asarray(adj_bottom),
+        layers=upper,
+        starting_vertex=jnp.int32(sv),
+    )
+    stats = {"n_shards": S, "n_shard": n_shard, "waves": (n - n0 + wave_size - 1) // wave_size}
+    return graph, stats

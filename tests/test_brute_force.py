@@ -55,3 +55,17 @@ def test_brute_force_fused_pallas_mode():
     # bf16 corpus: allow tiny disagreement on near-ties
     agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(got, want)])
     assert agree >= 0.95, f"fused agreement {agree}"
+
+
+def test_brute_force_fused_i8_mode():
+    # centered int8 scan + exact f32 rerank (interpret mode on CPU)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((512, 32)) * 3 + 1.5).astype(np.float32)
+    q = (rng.standard_normal((64, 32)) * 3 + 1.5).astype(np.float32)
+    eng = BruteForceEngine(mode="fused_i8")
+    eng.store_many_vectors(x)
+    eng.build()
+    got = eng.query_k_batch(q, 5)
+    want = _np_knn(q, x, 5)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(got, want)])
+    assert agree >= 0.97, f"fused_i8 agreement {agree}"

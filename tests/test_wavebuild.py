@@ -54,6 +54,32 @@ def test_wave_build_recall_parity_with_oneshot():
     assert rec_wave >= rec_one - 0.08, f"wave {rec_wave} vs oneshot {rec_one}"
 
 
+def test_wave_build_ortho_count_recall_parity_with_oneshot():
+    """ortho_count=2 construction (multi-pass penalized candidate search,
+    reference src/antitopo_engine.h:396-423) must hold recall parity with
+    the one-shot builder's exact ortho passes."""
+    x, q = _data(4000, 80, 32, seed=3)
+    k = 10
+    ef = 40
+    gt = _gt(x, q, k)
+    cfg = BuildConfig(M=12, ef_construction=80, prune_cand=64, ortho_count=2)
+
+    g_one = build_index(x, cfg)
+    ids_one, _, _ = query_batch(
+        g_one, jnp.asarray(np.pad(q, ((0, 0), (0, 96)))), k=k, ef=ef
+    )
+    rec_one = _recall(np.asarray(ids_one), gt)
+
+    g_wave = build_index_wave(x, cfg, wave_size=512, bootstrap=1024)
+    ids_wave, _, _ = query_batch(
+        g_wave, jnp.asarray(np.pad(q, ((0, 0), (0, 96)))), k=k, ef=ef
+    )
+    rec_wave = _recall(np.asarray(ids_wave), gt)
+
+    assert rec_wave >= 0.85, f"wave ortho recall {rec_wave}"
+    assert rec_wave >= rec_one - 0.08, f"wave {rec_wave} vs oneshot {rec_one}"
+
+
 def test_wave_build_edge_caps_respected():
     x, _ = _data(3000, 1, 16, seed=1)
     cfg = BuildConfig(M=8, ef_construction=60, prune_cand=48)

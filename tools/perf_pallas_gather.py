@@ -67,7 +67,7 @@ def run_block_gather(packed, ids, q, G: int, NBUF: int):
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, D), lambda i, ids: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, R), lambda i, ids: (0, 0)),
         scratch_shapes=[
