@@ -40,8 +40,8 @@ QT = 8  # queries per grid step (sublane granularity)
 def _beam_score_kernel(
     sel_ref,  # (B*E,) int32 scalar-prefetch: nodes to expand
     q_ref,  # (QT, D) f32 query tile
-    packed_ref,  # (N+1, R, D) storage dtype, HBM
-    aux_ref,  # (N+1, 2, R) f32, HBM
+    packed_ref,  # (N+1, Rs, D) storage dtype, HBM
+    aux_ref,  # (N+1, 2, R) f32, HBM (R = lane-padded tile width >= Rs)
     out_d_ref,  # (QT*E, R or TOPT) f32: nn - 2 q.x
     out_i_ref,  # (QT*E, R or TOPT) int32 neighbour ids
     vbuf,  # VMEM (NBUF, QT, E, R, D)
@@ -51,9 +51,12 @@ def _beam_score_kernel(
     E: int,
     NBUF: int,
     TOPT: int,
+    RS: int,  # stored rows per packed block (DMA size); R - RS rows are
+    # zeroed once and masked by the aux pad lanes' +inf norms
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
+    R = vbuf.shape[3]
 
     def copies(step):
         slot = jax.lax.rem(step, NBUF)
@@ -64,7 +67,7 @@ def _beam_score_kernel(
                 cs.append(
                     pltpu.make_async_copy(
                         packed_ref.at[node],
-                        vbuf.at[slot, qi, e],
+                        vbuf.at[slot, qi, e, pl.ds(0, RS)],
                         sems.at[slot, qi, e, 0],
                     )
                 )
@@ -79,6 +82,16 @@ def _beam_score_kernel(
 
     @pl.when(i == 0)
     def _prologue():
+        if RS < R:
+            # ghost rows (never DMA'd) must hold zeros, not garbage, so
+            # their dots stay finite; the aux pad lanes' +inf norms then
+            # push them to +inf distance
+            for s in range(NBUF):
+                for qi in range(QT):
+                    for e in range(E):
+                        vbuf[s, qi, e, RS:, :] = jnp.zeros(
+                            (R - RS, vbuf.shape[4]), vbuf.dtype
+                        )
         for s in range(NBUF - 1):
             for c in copies(s):
                 c.start()
@@ -145,15 +158,20 @@ def packed_score(
     topt: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Score the R packed neighbours of each selected node against its
+    """Score the packed neighbours of each selected node against its
     query.  Returns ``(partial_d, ids)`` of shape ``(B, E*R)`` where
     ``partial_d = |x|^2 - 2 q·x`` (add ``|q|^2`` for the squared L2) and
-    sentinel-padded slots carry ``+inf`` / the sentinel id.
+    sentinel-padded slots carry ``+inf`` / the sentinel id.  ``R`` is the
+    aux tile width (a multiple of 128); ``packed`` may store fewer rows
+    per block (Rs < R, memory-economical at low graph degree) — the ghost
+    rows are masked by the aux pad lanes' +inf norms.
 
     With ``topt=t > 0``, each expanded node contributes only its t best
     neighbours (extracted in-kernel): output shape ``(B, E*t)``, ascending
     per node — cuts the caller's merge width by R/t."""
-    _, R, D = packed.shape
+    _, RS, D = packed.shape
+    _, two, R = aux.shape
+    assert two == 2 and R % 128 == 0 and RS <= R
     B, E = sel.shape
     K = topt if topt else R
     assert 0 <= topt <= R
@@ -186,7 +204,9 @@ def packed_score(
         ],
     )
     out_d, out_i = pl.pallas_call(
-        functools.partial(_beam_score_kernel, E=E, NBUF=nbuf, TOPT=topt),
+        functools.partial(
+            _beam_score_kernel, E=E, NBUF=nbuf, TOPT=topt, RS=RS
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * E, K), jnp.float32),
@@ -207,24 +227,29 @@ def build_packed(
     """Materialize the packed-neighbour arrays from a built graph.
 
     Chunked so the f32 gather intermediate never exceeds
-    ``chunk * R * D * 4`` bytes.  R is padded up to a multiple of 128
-    with sentinel slots (Mosaic tiling requires lane-aligned aux rows).
-    Ids are stored as exact f32 values (N < 2^24 enforced)."""
+    ``chunk * R * D * 4`` bytes.  The aux tile is lane-padded to a
+    multiple of 128 (sentinel slots: +inf norms, sentinel ids) while the
+    vector blocks store only ``Rs = roundup(R, 16)`` rows — at low graph
+    degree this keeps packed memory ~R/128 of the full-tile cost (e.g. an
+    R=32 graph at N=1M: 8.2GB instead of 32GB).  Ids are stored as exact
+    f32 values (N < 2^24 enforced)."""
     np1 = vectors.shape[0]
     sentinel = np1 - 1
     assert sentinel < (1 << 24), "f32-encoded ids require N < 2^24"
     r = adj.shape[1]
-    r_pad = (-r) % 128
-    if r_pad:
-        adj = jnp.concatenate(
-            [adj, jnp.full((np1, r_pad), sentinel, adj.dtype)], axis=1
+    rs = r + ((-r) % 16)  # bf16 sublane alignment for the DMA blocks
+    r_tile = rs + ((-rs) % 128)
+    adj_t = adj
+    if r_tile > r:
+        adj_t = jnp.concatenate(
+            [adj, jnp.full((np1, r_tile - r), sentinel, adj.dtype)], axis=1
         )
     packed_parts = []
     aux_parts = []
     for s in range(0, np1, chunk):
-        a = adj[s : s + chunk]  # (c, R)
-        packed_parts.append(vectors[a].astype(dtype))  # (c, R, D)
+        a = adj_t[s : s + chunk]  # (c, r_tile)
+        packed_parts.append(vectors[a[:, :rs]].astype(dtype))  # (c, rs, D)
         aux_parts.append(
-            jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)  # (c, 2, R)
-        )
+            jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)
+        )  # (c, 2, r_tile)
     return jnp.concatenate(packed_parts), jnp.concatenate(aux_parts)

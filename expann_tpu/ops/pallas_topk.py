@@ -170,6 +170,9 @@ def flat_topk(
     B, D = q.shape
     N_pad = x.shape[0]
     assert B % query_tile == 0 and N_pad % corpus_block == 0
+    # the extraction pools each block to 128 lanes and knocks out one lane
+    # per pass — beyond 128 passes there is nothing left to extract
+    assert k <= 128, "flat_topk extraction supports k <= 128"
     if x.dtype == jnp.int8:
         # int8 corpora need properly quantized queries (round, not
         # truncate) — quantize with quantize_corpus_i8's scale upstream

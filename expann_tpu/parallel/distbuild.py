@@ -72,7 +72,8 @@ def _gather_vec(vectors, norms, gid, n_shard: int):
 @functools.partial(
     jax.jit,
     static_argnames=("C", "cap", "prune_overflow", "overflow_rows",
-                     "n_shard", "mesh", "precision", "reverse"),
+                     "n_shard", "n_total", "mesh", "precision", "reverse",
+                     "interpret"),
     donate_argnums=(2, 3),
 )
 def _dist_wave_step(
@@ -80,40 +81,78 @@ def _dist_wave_step(
     C: int, cap: int, ortho_factor, ortho_bias, prune_overflow: int,
     overflow_rows: int, n_shard: int, mesh: Mesh, precision: str,
     reverse: bool = True,
+    xs_flat=None,
+    n_total: int = 0,
+    interpret: bool = False,
 ):
     """One fused distributed insert wave (single dispatch; adjacency and
     counts donated).  ``wave_q``: (W, D) replicated wave vectors;
     ``wave_gids``: (W,) global ids (GSENT padding); ``frontier``: only
     global ids < frontier are candidate targets (pass n for one-shot
-    waves — the wave node itself is always excluded)."""
+    waves — the wave node itself is always excluded).
+
+    Candidate generation per shard is either a dense scored sort (small
+    shards / incremental mode) or, when ``xs_flat`` (a bf16 row-padded
+    copy of the shard corpora) is given, the streamed flat_topk Pallas
+    kernel — O(C) memory per wave regardless of shard size, which is
+    what makes million-row single-chip builds practical."""
     S = vectors.shape[0]
     GSENT = S * n_shard
     W = wave_q.shape[0]
     R = adj.shape[-1]
 
-    # ---- corpus-sharded dense candidate generation ----
-    def per_shard(vec, nrm, wq, wgids, frontier):
-        vec, nrm = vec[0], nrm[0]
-        qn = squared_norms(wq)
-        d2 = pairwise_dist2(
-            wq, vec[:n_shard], x_norms=nrm[:n_shard], q_norms=qn,
-            precision=precision,
-        )
-        shard_id = jax.lax.axis_index(AXIS)
-        lids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        gid = shard_id * n_shard + lids
-        d2 = jnp.where(
-            (gid < frontier) & (gid != wgids[:, None]), d2, INF
-        )
-        d2s, gids_s = jax.lax.sort((d2, gid), num_keys=1)
-        return gids_s[:, :C][None], d2s[:, :C][None]
+    if xs_flat is None:
+        # ---- dense candidate generation (sorts (W, n_shard)) ----
+        def per_shard(vec, nrm, wq, wgids, frontier):
+            vec, nrm = vec[0], nrm[0]
+            qn = squared_norms(wq)
+            d2 = pairwise_dist2(
+                wq, vec[:n_shard], x_norms=nrm[:n_shard], q_norms=qn,
+                precision=precision,
+            )
+            shard_id = jax.lax.axis_index(AXIS)
+            lids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            gid = shard_id * n_shard + lids
+            d2 = jnp.where(
+                (gid < frontier) & (gid != wgids[:, None]), d2, INF
+            )
+            d2s, gids_s = jax.lax.sort((d2, gid), num_keys=1)
+            return gids_s[:, :C][None], d2s[:, :C][None]
 
-    gids, gd = jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
-        out_specs=(P(AXIS), P(AXIS)),
-    )(vectors, norms, wave_q, wave_gids, frontier)
+        gids, gd = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+            out_specs=(P(AXIS), P(AXIS)),
+        )(vectors, norms, wave_q, wave_gids, frontier)
+    else:
+        # ---- streamed flat-scan candidates (one-shot mode only) ----
+        from expann_tpu.ops.pallas_topk import flat_topk
+
+        def per_shard_flat(xsb, wq, wgids):
+            xsb = xsb[0]  # (n_flat_pad, D) bf16, zero pad rows
+            ids, d = flat_topk(
+                wq, xsb, n_real=xsb.shape[0], k=C + 1,
+                interpret=interpret,
+            )
+            shard_id = jax.lax.axis_index(AXIS)
+            gid = ids + shard_id * n_shard
+            # mask shard pad rows (zero vectors score finitely) and self;
+            # the last shard's real row count is below n_shard
+            real = jnp.clip(n_total - shard_id * n_shard, 0, n_shard)
+            bad = (ids >= real) | (gid == wgids[:, None])
+            d = jnp.where(bad, INF, d)
+            gid = jnp.where(bad, GSENT, gid)
+            d, gid = jax.lax.sort((d, gid), num_keys=1)
+            return gid[:, :C][None], d[:, :C][None]
+
+        gids, gd = jax.shard_map(
+            per_shard_flat,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(), P()),
+            out_specs=(P(AXIS), P(AXIS)),
+            check_vma=False,  # pallas outputs carry no vma metadata
+        )(xs_flat, wave_q, wave_gids)
     cat_d = jnp.transpose(gd, (1, 0, 2)).reshape(W, S * C)
     cat_i = jnp.transpose(gids, (1, 0, 2)).reshape(W, S * C)
     cat_d, cat_i = jax.lax.sort((cat_d, cat_i), num_keys=1)
@@ -286,6 +325,7 @@ def build_distributed(
     bootstrap: int = 2048,
     slack: int = 64,
     mode: str = "oneshot",
+    candidates: str = "auto",
     verbose: bool = False,
 ) -> Tuple[GraphIndex, dict]:
     """Build one global graph with mesh-parallel waves.  Returns the
@@ -296,8 +336,15 @@ def build_distributed(
     node's pruned forward row, phase 2 derives the reverse edges from the
     final forward rows.  ``mode='incremental'`` mirrors the reference's
     insertion semantics: a one-shot bootstrap prefix, then waves whose
-    candidates come only from already-inserted nodes (frontier masking)."""
+    candidates come only from already-inserted nodes (frontier masking).
+
+    ``candidates``: 'dense' sorts a full (W, n_shard) score matrix per
+    wave (exact; fine for small shards), 'flat' streams the corpus through
+    the fused flat_topk Pallas kernel (O(C) memory — required for
+    million-row shards; one-shot mode only; near-exact bf16 scoring),
+    'auto' picks 'flat' when the shard exceeds 64k rows."""
     assert mode in ("oneshot", "incremental")
+    assert candidates in ("auto", "dense", "flat")
     cfg = cfg or BuildConfig()
     mesh = mesh or make_mesh()
     S = mesh.devices.size
@@ -348,6 +395,26 @@ def build_distributed(
     else:
         n0 = 0
 
+    if candidates == "auto":
+        candidates = "flat" if (mode == "oneshot" and n_shard > 65536) else "dense"
+    xs_flat = None
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    if candidates == "flat":
+        assert mode == "oneshot", "flat candidates require one-shot mode"
+        assert wave_size % 256 == 0, "flat candidates need wave_size % 256 == 0"
+        block = 1024
+        n_flat = ((n_shard + block - 1) // block) * block
+        # pad ROWS carry a large constant so their distances dominate any
+        # real distance (zero rows would score |q|^2 — CLOSER than real
+        # neighbours — and flood the kernel's top-C); the ids >= real mask
+        # in per_shard_flat is the correctness backstop
+        xh = np.full((S, n_flat, D_pad), 1e4, np.float32)
+        for s in range(S):
+            part = vf[s * n_shard : (s + 1) * n_shard]
+            xh[s, : part.shape[0]] = part
+        xs_flat = jax.device_put(jnp.asarray(xh, jnp.bfloat16), sharding)
+        del xh
+
     def waves(start):
         i = start
         while i < n:
@@ -371,6 +438,7 @@ def build_distributed(
             ortho_bias=cfg.ortho_bias, prune_overflow=cfg.prune_overflow,
             overflow_rows=128, n_shard=n_shard, mesh=mesh,
             precision=cfg.precision, reverse=(mode == "incremental"),
+            xs_flat=xs_flat, n_total=n, interpret=interpret,
         )
         if verbose:
             jax.block_until_ready(counts)
@@ -437,5 +505,6 @@ def build_distributed(
         layers=upper,
         starting_vertex=jnp.int32(sv),
     )
-    stats = {"n_shards": S, "n_shard": n_shard, "waves": (n - n0 + wave_size - 1) // wave_size}
+    stats = {"n_shards": S, "n_shard": n_shard, "candidates": candidates,
+             "waves": (n - n0 + wave_size - 1) // wave_size}
     return graph, stats

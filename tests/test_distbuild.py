@@ -45,6 +45,28 @@ def _gt(x, q, k):
     return eng.query_k_batch(q, k)
 
 
+def test_distributed_build_flat_candidates():
+    """Streamed flat_topk candidate generation (the million-row path) must
+    track the dense-exact path's recall at toy scale (interpret mode)."""
+    x, q = _data(2048, 40, 32, seed=5)
+    k, ef = 10, 40
+    gt = _gt(x, q, k)
+    mesh = make_mesh(8)
+    cfg = BuildConfig(M=8, ef_construction=48, prune_cand=48)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 96))))
+
+    recs = {}
+    for cand in ("dense", "flat"):
+        graph, stats = build_distributed(
+            x, cfg, mesh, wave_size=256, mode="oneshot", candidates=cand
+        )
+        assert stats["candidates"] == cand
+        ids, _, _ = query_batch(graph, qp, k=k, ef=ef)
+        recs[cand] = _recall(np.asarray(ids), gt)
+    assert recs["flat"] >= recs["dense"] - 0.05, recs
+    assert recs["flat"] >= 0.8, recs
+
+
 @pytest.mark.parametrize("mode", ["oneshot", "incremental"])
 def test_distributed_build_one_global_graph(mode):
     x, q = _data(4000, 60, 32)

@@ -27,7 +27,8 @@ def test_packed_score_matches_gather_scoring():
     n, d, r = 300, 128, 40
     x, vecs, norms, adj = _toy_graph(rng, n, d, r)
     packed, aux = build_packed(vecs, norms, adj, dtype=jnp.float32)
-    assert packed.shape[1] == 128  # r=40 padded up to one lane width
+    assert packed.shape[1] == 48  # r=40 rounded to the sublane quantum
+    assert aux.shape[2] == 128  # aux tile lane-padded
 
     B, E = 16, 4
     sel = jnp.asarray(rng.integers(0, n + 1, (B, E)).astype(np.int32))
@@ -62,7 +63,7 @@ def test_packed_score_topt_extraction():
     q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
     fd, fi = packed_score(packed, aux, sel, q, interpret=True)
     td, ti = packed_score(packed, aux, sel, q, topt=t, interpret=True)
-    R = packed.shape[1]
+    R = aux.shape[2]  # full (untruncated) output width is the aux tile
     fd = np.asarray(fd).reshape(B, E, R)
     fi = np.asarray(fi).reshape(B, E, R)
     td = np.asarray(td).reshape(B, E, t)

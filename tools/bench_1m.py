@@ -1,0 +1,158 @@
+"""Million-row single-chip demonstration (the SIFT1M-shaped slot).
+
+Synthetic 1M x d=128 corpus (SIFT fvecs files are absent in-image — the
+loaders in data/loader.py run the real thing unchanged when they exist).
+Measures:
+  * index build wall-clock (distributed one-shot builder on a 1-device
+    mesh with streamed flat_topk candidates — the million-row path),
+  * graph query pareto: recall@10 vs QPS (packed Pallas beam search),
+  * flat-scan points (bf16 and int8 fused kernels) for comparison.
+
+Ground truth: exact XLA matmul top-k on 400 queries (BruteForceEngine
+mode='exact' in 1M-safe batches).
+
+Usage: python tools/bench_1m.py [--n 1000000] [--skip-build]
+Writes results as JSON lines; the built index is cached at
+/tmp/expann_1m_idx.npz for query-side re-runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+IDX = "/tmp/expann_1m_idx.npz"
+GT = "/tmp/expann_1m_gt.npz"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--m", type=int, default=400)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--M", type=int, default=16)  # M0 = 32 -> packed fits HBM
+    ap.add_argument("--efc", type=int, default=96)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from expann_tpu.data.loader import generate_synthetic
+    from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
+    from expann_tpu.models.brute_force import BruteForceEngine
+    from expann_tpu.models.build import BuildConfig
+    from expann_tpu.parallel.distbuild import build_distributed
+    from expann_tpu.parallel.sharded import make_mesh
+    from expann_tpu.utils.persist import save_index
+
+    n, m, d, k = args.n, args.m, args.d, args.k
+    print(f"generating synthetic n={n} d={d} ...", flush=True)
+    x, queries = generate_synthetic(n, m, d, seed=0)
+
+    # ---- exact ground truth ----
+    if os.path.exists(GT):
+        gt = np.load(GT)["gt"]
+    else:
+        t0 = time.perf_counter()
+        bf = BruteForceEngine(batch_size=100)
+        bf.store_many_vectors(x)
+        bf.build()
+        gt = bf.query_k_batch(queries, k)
+        print(f"exact GT: {time.perf_counter() - t0:.0f}s", flush=True)
+        np.savez(GT, gt=gt)
+        del bf
+
+    gt_sets = [set(int(v) for v in row) for row in gt]
+
+    def recall(ids):
+        return float(
+            np.mean([len(set(int(v) for v in a[:k]) & g) / k
+                     for a, g in zip(ids, gt_sets)])
+        )
+
+    results = []
+
+    # ---- build: distributed one-shot on a 1-device mesh ----
+    cfg = BuildConfig(
+        M=args.M, ef_construction=args.efc, prune_cand=args.efc,
+        precision="default",
+    )
+    if args.skip_build and os.path.exists(IDX):
+        build_s = None
+    else:
+        mesh = make_mesh(1)
+        t0 = time.perf_counter()
+        graph, stats = build_distributed(
+            x, cfg, mesh, wave_size=4096, mode="oneshot",
+            candidates="flat", verbose=True,
+        )
+        build_s = time.perf_counter() - t0
+        print(f"build: {build_s:.0f}s  {stats}", flush=True)
+        save_index(IDX, graph, {"dim": d})
+        del graph
+        results.append({"point": "build", "build_s": round(build_s, 1),
+                        "n": n, **stats})
+
+    # ---- graph query pareto (packed) ----
+    rng = np.random.default_rng(99)
+    for expand, ef, topt in [(4, 40, 8), (4, 80, 8), (4, 120, 8), (8, 160, 16)]:
+        acfg = AntitopoConfig(
+            M=args.M, ef_construction=args.efc, ef_search=ef,
+            query_expand=expand, packed_topt=topt, query_block=4096,
+            precision="default", use_packed=True,
+            index_filename=IDX, read_index=True,
+        )
+        eng = AntitopoEngine(config=acfg)
+        eng.build()
+        rec = recall(eng.query_k_batch(queries, k))
+        dc = (eng.num_distcomps + eng.num_distcomps_compressed) / m
+        B = 8192
+        eng.query_k_batch(rng.standard_normal((B, d)).astype(np.float32), k)
+        best = 1e9
+        for _ in range(3):
+            qs = rng.standard_normal((B, d)).astype(np.float32)
+            t0 = time.perf_counter()
+            eng.query_k_batch(qs, k)
+            best = min(best, time.perf_counter() - t0)
+        pt = {"point": f"antitopo_ef{ef}_e{expand}_t{topt}",
+              "recall": round(rec, 4), "qps": round(B / best, 1),
+              "distcomps": round(dc, 1)}
+        results.append(pt)
+        print(json.dumps(pt), flush=True)
+        del eng
+
+    # ---- flat scans ----
+    for mode in ("fused", "fused_i8"):
+        eng = BruteForceEngine(mode=mode)
+        eng.store_many_vectors(x)
+        t0 = time.perf_counter()
+        eng.build()
+        fb = time.perf_counter() - t0
+        rec = recall(eng.query_k_batch(queries, k))
+        B = 16384
+        eng.query_k_batch(rng.standard_normal((B, d)).astype(np.float32), k)
+        best = 1e9
+        for _ in range(3):
+            qs = rng.standard_normal((B, d)).astype(np.float32)
+            t0 = time.perf_counter()
+            eng.query_k_batch(qs, k)
+            best = min(best, time.perf_counter() - t0)
+        pt = {"point": f"tpu_flat_{mode}", "recall": round(rec, 4),
+              "qps": round(B / best, 1), "build_s": round(fb, 1)}
+        results.append(pt)
+        print(json.dumps(pt), flush=True)
+        del eng
+
+    print(json.dumps({"summary_1m": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
