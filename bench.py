@@ -91,7 +91,10 @@ def main() -> None:
     # --- Anti-Topo graph engine ---
     # prune_overflow=1 and full-width prune candidates sit inside the
     # reference's own sweep grid (src/bench_runner.h:133-163) and give the
-    # best recall curve on this dataset (see tools/ sweeps)
+    # best recall curve on this dataset (see tools/ sweeps).  Queries run
+    # the packed-neighbour Pallas path (use_packed='auto' -> on, TPU) with
+    # in-kernel top-8 extraction — the round-2 sweep's best operating
+    # points (tools + BENCH_NOTES).
     cfg = AntitopoConfig(
         M=60,
         ef_construction=500,
@@ -99,6 +102,7 @@ def main() -> None:
         prune_overflow=1,
         prune_cand=500,
         query_expand=4,
+        packed_topt=8,
         query_block=4096,
         precision="default",
     )
@@ -107,13 +111,13 @@ def main() -> None:
     t0 = time.perf_counter()
     graph.build()
     graph_build_s = time.perf_counter() - t0
-    for mult in ([4] if quick else [4, 6, 12]):
+    for mult in ([4] if quick else [4, 6, 10, 12]):
         graph.set_ef_search(k * mult)  # also resets distcomp counters
         rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
         distcomps = (
             graph.num_distcomps + graph.num_distcomps_compressed
         ) / m  # per query, from the recall run (RECORD_STATS parity)
-        qps = _qps(graph, d, k, Q=4096)
+        qps = _qps(graph, d, k, Q=8192)
         points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps))
 
     qualifying = [p for p in points if p[1] >= RECALL_TARGET]
