@@ -92,17 +92,19 @@ def main() -> None:
     # prune_overflow=1 and full-width prune candidates sit inside the
     # reference's own sweep grid (src/bench_runner.h:133-163) and give the
     # best recall curve on this dataset (see tools/ sweeps).  Queries run
-    # the packed-neighbour Pallas path (use_packed='auto' -> on, TPU) with
-    # in-kernel top-8 extraction — the round-2 sweep's best operating
-    # points (tools + BENCH_NOTES).
+    # the fully fused in-kernel traversal (use_fused='auto' -> on, TPU;
+    # ops/pallas_fused.py) at the round-2 sweep's best operating point:
+    # expand=2, cand=16, qt=128 (tools/perf_fused.py).
     cfg = AntitopoConfig(
         M=60,
         ef_construction=500,
         ortho_count=1,
         prune_overflow=1,
         prune_cand=500,
-        query_expand=4,
+        query_expand=2,
         packed_topt=8,
+        fused_cand=16,
+        fused_qt=128,
         query_block=4096,
         precision="default",
     )

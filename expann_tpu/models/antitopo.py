@@ -27,7 +27,7 @@ import numpy as np
 from expann_tpu.models.base import Engine, ParamList, format_param
 from expann_tpu.models.build import BuildConfig, build_index
 from expann_tpu.models.graph import GraphIndex
-from expann_tpu.models.search import query_batch
+from expann_tpu.models.search import fused_query_batch, query_batch
 from expann_tpu.ops.distance import pad_dim
 from expann_tpu.ops.quantize import quantize_simple
 
@@ -72,6 +72,17 @@ class AntitopoConfig:
     # scores): shrinks the per-iteration beam merge by R/t at a small
     # recall cost from discarded per-node tails
     packed_topt: int = 8
+    # fully fused traversal (ops/pallas_fused.py): the whole bottom-layer
+    # beam search in one Pallas kernel.  "auto" enables it on TPU backends
+    # (requires the packed layout); True forces it (interpret mode
+    # off-TPU, for tests); False falls back to the per-iteration packed
+    # path.  fused_qt queries traverse per kernel grid step; fused_cand
+    # candidates total are kept per iteration, split across the
+    # query_expand expansions.  Defaults are the round-2 sweep's best
+    # operating point (tools/perf_fused.py: expand=2/cand=16/qt=128).
+    use_fused: object = "auto"
+    fused_cand: int = 16
+    fused_qt: int = 128
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -265,6 +276,10 @@ class AntitopoEngine(Engine):
 
         assert self.graph is not None, "build() must be called before queries"
         use_packed = self._resolve_packed()
+        if self.cfg.use_fused == "auto":
+            use_fused = use_packed and _jax.default_backend() in ("tpu", "axon")
+        else:
+            use_fused = bool(self.cfg.use_fused) and use_packed
         interpret = _jax.default_backend() not in ("tpu", "axon")
         t_begin = _time.perf_counter_ns()
         q = np.asarray(queries, dtype=np.float32)
@@ -290,20 +305,45 @@ class AntitopoEngine(Engine):
                 chunk = np.concatenate(
                     [chunk, np.zeros((bucket - real, q.shape[1]), np.float32)]
                 )
-            ids, _, ncomp = query_batch(
-                self.graph,
-                jnp.asarray(chunk),
-                k=k,
-                ef=ef,
-                precision=self.cfg.precision,
-                compressed=bool(
-                    self.cfg.use_compression and self.graph.codes is not None
-                ),
-                expand=self.cfg.query_expand,
-                use_packed=use_packed,
-                packed_topt=self.cfg.packed_topt,
-                interpret=bool(use_packed and interpret),
+            compressed = bool(
+                self.cfg.use_compression and self.graph.codes is not None
             )
+            # in "auto" mode small buckets take the per-iteration packed
+            # path: they are latency-bound (the fused kernel's win is
+            # throughput batches) and each distinct tile height qt costs
+            # minutes on this host's compile server
+            fused_this = use_fused and (
+                bucket >= self.cfg.fused_qt or self.cfg.use_fused is True
+            )
+            if fused_this and not compressed:
+                # ef is a runtime scalar here: sweeping ef_search reuses
+                # one compile (models/search.fused_query_batch)
+                qt = min(self.cfg.fused_qt, bucket)
+                ids, _, ncomp = fused_query_batch(
+                    self.graph,
+                    jnp.asarray(chunk),
+                    ef=np.int32(ef),
+                    k=k,
+                    ef_cap=ef + ((-ef) % 128),
+                    expand=self.cfg.query_expand,
+                    cand=self.cfg.fused_cand,
+                    qt=qt,
+                    precision=self.cfg.precision,
+                    interpret=interpret,
+                )
+            else:
+                ids, _, ncomp = query_batch(
+                    self.graph,
+                    jnp.asarray(chunk),
+                    k=k,
+                    ef=ef,
+                    precision=self.cfg.precision,
+                    compressed=compressed,
+                    expand=self.cfg.query_expand,
+                    use_packed=use_packed,
+                    packed_topt=self.cfg.packed_topt,
+                    interpret=bool(use_packed and interpret),
+                )
             ids = np.asarray(ids)[:real]
             if self.cfg.use_compression:
                 self.num_distcomps_compressed += int(ncomp)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from expann_tpu.models.graph import GraphIndex
 from expann_tpu.ops.distance import batched_neighbour_dist2, squared_norms
 from expann_tpu.ops.pallas_beam import packed_score
+from expann_tpu.ops.pallas_fused import fused_search
 
 INF = jnp.inf
 
@@ -345,6 +346,10 @@ def query_batch(
     and — exactly like the compressed path — the final beam is reranked in
     exact f32 before truncation to k.  ``compressed`` takes priority when
     both are set.
+
+    The fully fused single-kernel traversal lives in ``fused_query_batch``
+    below (separate entry point: its ``ef`` is a runtime scalar so that
+    ef sweeps reuse one compile).
     """
     ef = max(ef, k)
     if max_iters <= 0:
@@ -448,4 +453,90 @@ def query_batch(
             precision=precision,
             expand=expand,
         )
+    return beam_ids[:, :k], beam_d[:, :k], ncomp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "ef_cap",
+        "expand",
+        "cand",
+        "qt",
+        "precision",
+        "interpret",
+    ),
+)
+def fused_query_batch(
+    graph: GraphIndex,
+    q: jax.Array,
+    ef,  # RUNTIME int32 scalar (or python int) — no recompile across ef
+    k: int,
+    ef_cap: int = 128,
+    expand: int = 2,
+    cand: int = 16,
+    qt: int = 128,
+    precision: str = "default",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full batched query through the fully fused single-kernel traversal
+    (ops/pallas_fused.py): greedy upper-layer descent, then the ENTIRE
+    bottom-layer beam search in one Pallas kernel, then an exact f32
+    rerank of the final beam (the kernel scores bf16 packed blocks).
+
+    Separate entry point from ``query_batch`` because its caching regime
+    differs: ``ef`` is a runtime scalar operand (beam buffers are sized by
+    the static ``ef_cap`` bucket), so an ef_search sweep — free in the
+    reference, src/antitopo_engine.h:189-195 — reuses one compile.
+    Requires ``graph.packed`` and ``B % qt == 0``.
+    """
+    assert graph.packed is not None, "index has no packed-neighbour arrays"
+    B = q.shape[0]
+    q = q.astype(jnp.float32)
+    qn = squared_norms(q)
+    sentinel = graph.sentinel
+    EF = ef_cap + ((-ef_cap) % 128)
+    ef_s = jnp.minimum(
+        jnp.maximum(jnp.asarray(ef, jnp.int32), k), EF
+    )
+
+    ep = jnp.full((B,), graph.starting_vertex, jnp.int32)
+    ep_d = _gather_dist2(
+        graph.vectors, graph.norms, ep[:, None], q, qn, precision
+    )[:, 0]
+    for layer in reversed(graph.layers):
+        ep, ep_d = greedy_descent(
+            graph.vectors,
+            graph.norms,
+            layer.slot,
+            layer.adj,
+            q,
+            qn,
+            ep,
+            ep_d,
+            precision,
+        )
+
+    bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, 0].set(ep_d)
+    bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, 0].set(ep)
+    beam_ids, _, ncomp_rows, _ = fused_search(
+        graph.packed,
+        graph.packed_aux,
+        q,
+        bd0,
+        bi0,
+        ef=ef_s,
+        expand=expand,
+        cand=cand,
+        qt=qt,
+        interpret=interpret,
+    )
+    ncomp = jnp.sum(ncomp_rows)
+    # Exact f32 rerank of the final (unsorted) beam, as the packed and
+    # compressed paths do; also pushes sentinel/+inf lanes to the end.
+    beam_d = _gather_dist2(
+        graph.vectors, graph.norms, beam_ids, q, qn, precision
+    )
+    beam_d, beam_ids = jax.lax.sort((beam_d, beam_ids), num_keys=1)
     return beam_ids[:, :k], beam_d[:, :k], ncomp

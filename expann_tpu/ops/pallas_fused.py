@@ -56,6 +56,9 @@ INF = float("inf")
 
 
 def _fused_kernel(
+    lim_ref,  # (1, 2) int32 SMEM: [ef_live, max_iters] — RUNTIME scalars
+    # so one compiled kernel serves every ef <= EF (set_ef_search must not
+    # recompile: reference src/antitopo_engine.h:189-195 is free)
     q_ref,  # (QT, D) f32 query tile
     bd0_ref,  # (QT, EF) f32 initial beam distances (+inf padding)
     bi0_ref,  # (QT, EF) int32 initial beam ids (sentinel padding)
@@ -67,23 +70,25 @@ def _fused_kernel(
     vbuf,  # VMEM (QT, E, RS, D) packed blocks
     abuf,  # VMEM (QT, E, 2, R) f32 aux rows
     selbuf,  # VMEM (QT, 128) int32 staged selections
-    sems,  # DMA sems (QT, E, 2)
+    sems,  # DMA sems (2*QT,): per query one for packed, one for aux copies
+    # (flattened 1D and shared across the E copies — the sflag space is
+    # tiny and multi-dim semaphore arrays pad each minor dim)
     *,
     E: int,
     TOPT: int,
-    EF_LIVE: int,
     RS: int,
-    MAX_ITERS: int,
     SENTINEL: int,
     DBG: str = "",  # dev cost-probes, see tools/probe_fused_cost.py
 ):
     T, D = q_ref.shape
     EF = bd0_ref.shape[1]
+    ef_live = lim_ref[0, 0]
+    max_iters = lim_ref[0, 1]
     q = q_ref[...]
     qn = jnp.sum(q * q, axis=1, keepdims=True)  # (T, 1)
     qc = q.astype(vbuf.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, EF), 1)
-    live = lane < EF_LIVE
+    live = lane < ef_live
     slane = jax.lax.broadcasted_iota(jnp.int32, (T, RS), 1)
     sent = SENTINEL
 
@@ -137,18 +142,18 @@ def _fused_kernel(
                         else selbuf[qi, e]
                     )
                     pltpu.make_async_copy(
-                        packed_ref.at[node], vbuf.at[qi, e], sems.at[qi, e, 0]
+                        packed_ref.at[node], vbuf.at[qi, e], sems.at[2 * qi]
                     ).start()
                     pltpu.make_async_copy(
-                        aux_ref.at[node], abuf.at[qi, e], sems.at[qi, e, 1]
+                        aux_ref.at[node], abuf.at[qi, e], sems.at[2 * qi + 1]
                     ).start()
             for qi in range(T):
                 for e in range(E):
                     pltpu.make_async_copy(
-                        packed_ref.at[0], vbuf.at[qi, e], sems.at[qi, e, 0]
+                        packed_ref.at[0], vbuf.at[qi, e], sems.at[2 * qi]
                     ).wait()
                     pltpu.make_async_copy(
-                        aux_ref.at[0], abuf.at[qi, e], sems.at[qi, e, 1]
+                        aux_ref.at[0], abuf.at[qi, e], sems.at[2 * qi + 1]
                     ).wait()
 
         # --- score all T*E blocks with one MXU matmul ---
@@ -227,8 +232,8 @@ def _fused_kernel(
     def cond(carry):
         _, _, _, done, it, _ = carry
         if "fori" in DBG:  # cost probe: pure-scalar condition, no early exit
-            return it < MAX_ITERS
-        return (it < MAX_ITERS) & (jnp.min(done) == 0)
+            return it < max_iters
+        return (it < max_iters) & (jnp.min(done) == 0)
 
     beam_d, beam_ids, _, _, it, ncomp = jax.lax.while_loop(
         cond,
@@ -253,7 +258,7 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "expand", "cand", "max_iters", "qt", "interpret", "dbg"),
+    static_argnames=("expand", "cand", "qt", "interpret", "dbg"),
 )
 def fused_search(
     packed: jax.Array,  # (N+1, RS, D) storage dtype
@@ -261,10 +266,10 @@ def fused_search(
     q: jax.Array,  # (B, D) f32
     beam_d0: jax.Array,  # (B, EF) f32, +inf padding
     beam_ids0: jax.Array,  # (B, EF) int32, sentinel padding
-    ef: int,
+    ef,  # int or int32 scalar — RUNTIME value, no recompile across ef
     expand: int = 2,
     cand: int = 32,
-    max_iters: int = 0,
+    max_iters=0,  # int or int32 scalar; <=0 means 8*ef+16
     qt: int = QT,
     interpret: bool = False,
     dbg: str = "",
@@ -279,19 +284,28 @@ def fused_search(
     neighbours per iteration.  Scores are computed against the packed
     (bf16) blocks; callers should rerank the final beam in exact f32
     (models/search.py does).
+
+    ``ef`` and ``max_iters`` are runtime scalars (SMEM operands): one
+    compiled kernel serves every ef <= EF, so sweeping ef_search — the
+    reference's free set_ef_search knob (src/antitopo_engine.h:189-195) —
+    does not touch the (minutes-slow on this host) compile server.
     """
     _, RS, D = packed.shape
     _, two, R = aux.shape
     B, EF = beam_d0.shape
-    assert two == 2 and EF % 128 == 0 and 0 < ef <= EF
+    assert two == 2 and EF % 128 == 0
+    if isinstance(ef, int):
+        assert 0 < ef <= EF
     assert q.shape == (B, D) and beam_ids0.shape == (B, EF)
     assert qt % 8 == 0 or qt == 8, f"tile height {qt} must be a multiple of 8"
     assert B % qt == 0, f"query batch must be a multiple of {qt}"
     sentinel = packed.shape[0] - 1
-    E = max(1, min(expand, ef))
+    E = max(1, expand)
     TOPT = max(1, min((cand + E - 1) // E, RS))
-    if max_iters <= 0:
-        max_iters = 8 * ef + 16
+    ef_s = jnp.asarray(ef, jnp.int32).reshape(())
+    mi_s = jnp.asarray(max_iters, jnp.int32).reshape(())
+    mi_s = jnp.where(mi_s > 0, mi_s, 8 * ef_s + 16)
+    lim = jnp.stack([ef_s, mi_s]).reshape(1, 2)
 
     grid = (B // qt,)
     obd, obi, ost = pl.pallas_call(
@@ -299,14 +313,13 @@ def fused_search(
             _fused_kernel,
             E=E,
             TOPT=TOPT,
-            EF_LIVE=ef,
             RS=RS,
-            MAX_ITERS=max_iters,
             SENTINEL=sentinel,
             DBG=dbg,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((qt, D), lambda i: (i, 0)),
             pl.BlockSpec((qt, EF), lambda i: (i, 0)),
             pl.BlockSpec((qt, EF), lambda i: (i, 0)),
@@ -327,9 +340,15 @@ def fused_search(
             pltpu.VMEM((qt, E, RS, D), packed.dtype),
             pltpu.VMEM((qt, E, 2, R), jnp.float32),
             pltpu.VMEM((qt, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((qt, E, 2)),
+            pltpu.SemaphoreType.DMA((2 * qt,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the default 16MB scoped-vmem budget undercounts tall tiles
+            # (qt=128 + the subgroup matmul intermediates); the chip has
+            # 128MB of VMEM
+            vmem_limit_bytes=64 * 2**20,
+        ),
         interpret=interpret,
-    )(q.astype(jnp.float32), beam_d0, beam_ids0, packed, aux)
+    )(lim, q.astype(jnp.float32), beam_d0, beam_ids0, packed, aux)
     # col0 is a per-row (per-query) distcomp count; col1 a per-tile iter count
     return obi, obd, ost[:, 0], ost[::qt, 1]

@@ -69,6 +69,10 @@ class ShardedIndex:
     start: jax.Array  # (S,) per-shard entry point
     n_total: int
     mesh: Mesh
+    # packed-neighbour serving layout (ops/pallas_beam.build_packed per
+    # shard, stacked on the shard axis) — set by pack_sharded()
+    packed: Optional[jax.Array] = None  # (S, n_shard + 1, RS, D)
+    packed_aux: Optional[jax.Array] = None  # (S, n_shard + 1, 2, R_tile)
 
     @property
     def n_shard(self) -> int:
@@ -203,6 +207,127 @@ def sharded_query_batch(
         precision=precision,
     )
     return np.asarray(ids)
+
+
+def pack_sharded(index: ShardedIndex, dtype=jnp.bfloat16) -> ShardedIndex:
+    """Materialize per-shard packed-neighbour arrays (one expansion = one
+    contiguous block DMA instead of R row gathers — BENCH_NOTES round-2
+    measurements) and lay them out shard-per-device.  Returns a new
+    ShardedIndex with ``packed``/``packed_aux`` populated."""
+    from expann_tpu.ops.pallas_beam import build_packed
+
+    S = index.num_shards
+    pk_blocks, ax_blocks = [], []
+    for s in range(S):
+        pk, ax = build_packed(
+            index.vectors[s], index.norms[s], index.adj[s], dtype=dtype
+        )
+        pk_blocks.append(np.asarray(pk))
+        ax_blocks.append(np.asarray(ax))
+    sharding = NamedSharding(index.mesh, P(AXIS))
+    return dataclasses.replace(
+        index,
+        packed=jax.device_put(np.stack(pk_blocks), sharding),
+        packed_aux=jax.device_put(np.stack(ax_blocks), sharding),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "expand", "cand", "qt", "max_iters", "n_shard", "mesh",
+        "interpret",
+    ),
+)
+def _sharded_packed_query(
+    packed, aux, vectors, norms, start, q,
+    k: int, ef: int, expand: int, cand: int, qt: int, max_iters: int,
+    n_shard: int, mesh: Mesh, interpret: bool,
+):
+    """Per-shard fully fused Pallas traversal (ops/pallas_fused.py) inside
+    shard_map, exact per-shard f32 rerank, then a global all-gather top-k
+    merge over ICI — the packed counterpart of ``_sharded_query``."""
+    from expann_tpu.models.search import _gather_dist2
+    from expann_tpu.ops.pallas_fused import fused_search
+
+    EF = ef + ((-ef) % 128)
+
+    def per_shard(pk, ax, vec, nrm, st, q):
+        pk, ax, vec, nrm = pk[0], ax[0], vec[0], nrm[0]
+        qf = q.astype(jnp.float32)
+        qn = squared_norms(qf)
+        B = q.shape[0]
+        ep = jnp.broadcast_to(st, (B,)).astype(jnp.int32)
+        ep_d = _gather_dist2(vec, nrm, ep[:, None], qf, qn, "default")[:, 0]
+        bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
+        bi0 = jnp.full((B, EF), n_shard, jnp.int32).at[:, 0].set(ep)
+        ids, _, _, _ = fused_search(
+            pk, ax, qf, bd0, bi0,
+            ef=ef, expand=expand, cand=cand, max_iters=max_iters, qt=qt,
+            interpret=interpret,
+        )
+        # exact f32 rerank of the (unsorted, bf16-scored) beam
+        dd = _gather_dist2(vec, nrm, ids, qf, qn, "default")
+        dd, ids = jax.lax.sort((dd, ids), num_keys=1)
+        shard_id = jax.lax.axis_index(AXIS)
+        gids = jnp.where(
+            ids[:, :k] >= n_shard, -1, ids[:, :k] + shard_id * n_shard
+        )
+        return gids[None], dd[:, :k][None]
+
+    gids, d = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )(packed, aux, vectors, norms, start, q)
+    S, B, _ = gids.shape
+    all_d = jnp.transpose(d, (1, 0, 2)).reshape(B, S * k)
+    all_i = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
+    all_d, all_i = jax.lax.sort((all_d, all_i), num_keys=1)
+    return all_i[:, :k], all_d[:, :k]
+
+
+def sharded_packed_query(
+    index: ShardedIndex,
+    queries: np.ndarray,
+    k: int,
+    ef: int,
+    expand: int = 1,
+    cand: int = 8,
+    qt: int = 8,
+    max_iters: int = 0,
+) -> np.ndarray:
+    """Replicated queries over per-shard packed fused traversals."""
+    assert index.packed is not None, "call pack_sharded(index) first"
+    q = np.asarray(queries, np.float32)
+    q = pad_dim(q, index.vectors.shape[-1])
+    pad = (-q.shape[0]) % qt
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+    if max_iters <= 0:
+        max_iters = 8 * max(ef, k) + 16
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    ids, _ = _sharded_packed_query(
+        index.packed,
+        index.packed_aux,
+        index.vectors,
+        index.norms,
+        index.start,
+        jnp.asarray(q),
+        k=k,
+        ef=max(ef, k),
+        expand=expand,
+        cand=cand,
+        qt=qt,
+        max_iters=max_iters,
+        n_shard=index.n_shard,
+        mesh=index.mesh,
+        interpret=interpret,
+    )
+    ids = np.asarray(ids)
+    return ids[: ids.shape[0] - pad] if pad else ids
 
 
 @functools.partial(

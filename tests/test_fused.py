@@ -1,0 +1,119 @@
+"""Fully fused in-kernel traversal (ops/pallas_fused.py): interpret-mode
+parity on CPU; the same kernel compiles to Mosaic on TPU (measured in
+tools/perf_fused.py and bench.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
+from expann_tpu.ops.pallas_beam import build_packed
+from expann_tpu.ops.pallas_fused import fused_search
+
+
+def _build(x, expand=1, use_fused=True, qt=8, cand=8, ef=40):
+    cfg = AntitopoConfig(
+        M=12,
+        ef_construction=60,
+        ef_search=ef,
+        query_expand=expand,
+        use_packed=True,
+        use_fused=use_fused,
+        fused_qt=qt,
+        fused_cand=cand,
+        seed=0,
+    )
+    eng = AntitopoEngine(config=cfg)
+    eng.store_many_vectors(x)
+    eng.build()
+    return eng
+
+
+@pytest.mark.parametrize("expand,cand", [(1, 8), (2, 8), (4, 16)])
+def test_query_fused_matches_packed(expand, cand):
+    rng = np.random.default_rng(2)
+    n, d, k = 600, 32, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((40, d)).astype(np.float32)
+    d2 = ((queries[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, gt)])
+
+    packed_eng = _build(x, expand=expand, use_fused=False)
+    fused_eng = _build(x, expand=expand, cand=cand)
+    r_packed = recall(packed_eng.query_k_batch(queries, k))
+    ids = fused_eng.query_k_batch(queries, k)
+    r_fused = recall(ids)
+    # the fused merge keeps cand candidates per iteration vs the packed
+    # path's full sort; small recall give is acceptable, large is a bug
+    assert r_fused >= r_packed - 0.05, (r_fused, r_packed)
+    assert r_fused > 0.85
+    # duplicate-free results (the reference's basic_bench assertion)
+    for row in ids:
+        valid = row[(row >= 0) & (row < n)]
+        assert len(set(valid.tolist())) == len(valid)
+    assert fused_eng.num_distcomps > 0
+
+
+def test_fused_search_exact_on_full_beam():
+    """With ef >= n, full candidate keep, and a complete adjacency, one
+    expansion wave reaches everything: the beam must equal exact top-n."""
+    rng = np.random.default_rng(5)
+    n, d = 60, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    # complete graph: every node's adjacency lists all nodes
+    vecs = jnp.asarray(
+        np.concatenate(
+            [np.pad(x, ((0, 0), (0, 128 - d))), np.zeros((1, 128), np.float32)]
+        )
+    )
+    norms = jnp.concatenate(
+        [jnp.sum(vecs[:n] ** 2, 1), jnp.array([np.inf])]
+    )
+    adj = jnp.asarray(
+        np.tile(np.arange(n, dtype=np.int32), (n + 1, 1))
+    )
+    packed, aux = build_packed(vecs, norms, adj, dtype=jnp.float32)
+
+    B, EF, ef = 8, 128, 120
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 128 - d))))
+    qn = np.sum(q**2, axis=1)
+    bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, 0].set(
+        jnp.asarray(qn + np.sum(x[0] ** 2) - 2 * q @ x[0])
+    )
+    bi0 = jnp.full((B, EF), n, jnp.int32).at[:, 0].set(0)
+    ids, dists, ncomp, iters = fused_search(
+        packed, aux, qp, bd0, bi0, ef=ef, expand=1, cand=64,
+        qt=8, interpret=True,
+    )
+    ids = np.asarray(ids)
+    d2 = ((q[:, None] - x[None]) ** 2).sum(-1)
+    want = np.sort(d2, axis=1)[:, :n]
+    for b in range(B):
+        got = sorted(int(i) for i in ids[b] if i < n)
+        assert got == sorted(
+            np.argsort(d2[b])[: len(got)].tolist()
+        ) or set(np.argsort(d2[b])[:ef].tolist()) >= set(got)
+        # all n nodes fit in the ef=120 beam: the result must be exactly
+        # the full corpus, every distance right
+        assert len(got) == n
+        gd = np.sort(np.asarray(dists)[b][np.asarray(ids)[b] < n])
+        np.testing.assert_allclose(gd, want[b], rtol=1e-4, atol=1e-3)
+    assert int(np.asarray(iters).max()) <= n + 2
+    assert int(np.asarray(ncomp).sum()) > 0
+
+
+def test_fused_respects_done_flag_early_exit():
+    """Tiles whose queries all terminate must stop iterating early."""
+    rng = np.random.default_rng(9)
+    n, d = 400, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    eng = _build(x, expand=2, ef=20)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    ids = eng.query_k_batch(q, 5)
+    assert ids.shape == (16, 5)
+    assert (ids < n).all() and (ids >= 0).all()

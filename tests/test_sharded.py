@@ -116,6 +116,28 @@ def test_replicated_dp_query():
     assert rec >= 0.9, f"dp recall {rec}"
 
 
+def test_sharded_packed_query_matches_row_gather_path():
+    """Per-shard fused Pallas traversal (interpret mode on CPU) must match
+    the row-gather sharded path's recall on the same index."""
+    from expann_tpu.parallel.sharded import pack_sharded, sharded_packed_query
+
+    x, q = _data(2400, 40, 32, seed=11)
+    k, ef = 10, 40
+    gt = _gt(x, q, k)
+    mesh = make_mesh(8)
+    idx = build_sharded(x, BuildConfig(M=8, ef_construction=60), mesh)
+    base = _recall(sharded_query_batch(idx, q, k=k, ef=ef), gt)
+    idx = pack_sharded(idx)
+    ans = sharded_packed_query(idx, q, k=k, ef=ef, expand=1, cand=8)
+    rec = _recall(ans, gt)
+    assert rec >= base - 0.05, (rec, base)
+    assert rec >= 0.9, f"sharded packed recall {rec}"
+    # global ids unique per query (duplicate-free across shard merge)
+    for row in ans:
+        valid = row[row >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+
+
 def test_sharded_flat_query_exact():
     from expann_tpu.parallel.sharded import build_sharded_flat, sharded_flat_query
 

@@ -59,11 +59,12 @@ def main():
         )
         return hits / (m * k)
 
-    # --- baseline: round-2 packed path ---
-    eng.set_ef_search(ef)
-    t0 = time.perf_counter()
-    a0 = eng.query_k_batch(ds.queries, k)
-    print(f"packed path recall={recall(a0):.4f} ({time.perf_counter()-t0:.1f}s incl compile)")
+    # --- baseline: engine path (fused via auto on TPU) ---
+    if not os.environ.get("SKIP_ENGINE"):
+        eng.set_ef_search(ef)
+        t0 = time.perf_counter()
+        a0 = eng.query_k_batch(ds.queries, k)
+        print(f"engine path recall={recall(a0):.4f} ({time.perf_counter()-t0:.1f}s incl compile)")
 
     # --- fused path, correctness on the real queries ---
     EF = ef + ((-ef) % 128)
@@ -125,15 +126,18 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"fused  B={B}: {B/best:,.0f} QPS ({best*1e6/B:.1f} us/q)")
 
-        eng.set_ef_search(ef)
-        eng.query_k_batch(np.asarray(rng.standard_normal((B, d)), np.float32), k)
-        best = float("inf")
-        for _ in range(3):
-            b = np.asarray(rng.standard_normal((B, d)), np.float32)
-            t0 = time.perf_counter()
-            eng.query_k_batch(b, k)
-            best = min(best, time.perf_counter() - t0)
-        print(f"packed B={B}: {B/best:,.0f} QPS ({best*1e6/B:.1f} us/q)")
+        if not os.environ.get("SKIP_ENGINE"):
+            eng.set_ef_search(ef)
+            eng.query_k_batch(
+                np.asarray(rng.standard_normal((B, d)), np.float32), k
+            )
+            best = float("inf")
+            for _ in range(3):
+                b = np.asarray(rng.standard_normal((B, d)), np.float32)
+                t0 = time.perf_counter()
+                eng.query_k_batch(b, k)
+                best = min(best, time.perf_counter() - t0)
+            print(f"engine B={B}: {B/best:,.0f} QPS ({best*1e6/B:.1f} us/q)")
 
 
 if __name__ == "__main__":
