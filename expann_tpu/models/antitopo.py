@@ -83,6 +83,11 @@ class AntitopoConfig:
     use_fused: object = "auto"
     fused_cand: int = 16
     fused_qt: int = 128
+    # packed block storage: "bf16" (default) or "i8" (centered s8 codes,
+    # build_packed_i8 — half the DMA bytes per expansion; the fused
+    # traversal is DMA-bound, so ~2x QPS at a small in-kernel ranking
+    # coarsening that the exact f32 rerank mostly recovers)
+    packed_dtype: str = "bf16"
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -260,14 +265,30 @@ class AntitopoEngine(Engine):
         else:
             on = bool(c.use_packed)
         if on and self.graph.packed is None:
-            from expann_tpu.ops.pallas_beam import build_packed
+            if c.packed_dtype == "i8":
+                from expann_tpu.ops.pallas_beam import build_packed_i8
 
-            packed, aux = build_packed(
-                self.graph.vectors, self.graph.norms, self.graph.adj_bottom
-            )
-            self.graph = dataclasses.replace(
-                self.graph, packed=packed, packed_aux=aux
-            )
+                packed, aux, codes, code_norms, center, scale = (
+                    build_packed_i8(self.graph.vectors, self.graph.adj_bottom)
+                )
+                self.graph = dataclasses.replace(
+                    self.graph,
+                    packed=packed,
+                    packed_aux=aux,
+                    packed_codes=codes,
+                    packed_code_norms=code_norms,
+                    packed_center=center,
+                    packed_scale=scale,
+                )
+            else:
+                from expann_tpu.ops.pallas_beam import build_packed
+
+                packed, aux = build_packed(
+                    self.graph.vectors, self.graph.norms, self.graph.adj_bottom
+                )
+                self.graph = dataclasses.replace(
+                    self.graph, packed=packed, packed_aux=aux
+                )
         return on
 
     def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
@@ -332,6 +353,10 @@ class AntitopoEngine(Engine):
                     interpret=interpret,
                 )
             else:
+                # the per-iteration packed kernel scores raw blocks against
+                # the raw query — it has no code-space transform, so i8
+                # packed layouts fall back to the plain XLA-gather path
+                packed_ok = use_packed and self.cfg.packed_dtype != "i8"
                 ids, _, ncomp = query_batch(
                     self.graph,
                     jnp.asarray(chunk),
@@ -340,9 +365,9 @@ class AntitopoEngine(Engine):
                     precision=self.cfg.precision,
                     compressed=compressed,
                     expand=self.cfg.query_expand,
-                    use_packed=use_packed,
+                    use_packed=packed_ok,
                     packed_topt=self.cfg.packed_topt,
-                    interpret=bool(use_packed and interpret),
+                    interpret=bool(packed_ok and interpret),
                 )
             ids = np.asarray(ids)[:real]
             if self.cfg.use_compression:

@@ -129,6 +129,7 @@ class BruteForceEngine(Engine):
 
     def _query_fused(self, q: np.ndarray, k: int) -> np.ndarray:
         import jax
+        import ml_dtypes
 
         from expann_tpu.ops.pallas_topk import flat_topk, quantize_query_i8
 
@@ -136,11 +137,17 @@ class BruteForceEngine(Engine):
         i8 = self.mode == "fused_i8"
         scan_k = min(self.rerank_mult * k, 128) if i8 else k
         tile = 256
-        out = []
-        # per-call overhead dominates this kernel (measured ~230ms per
-        # dispatch regardless of batch or corpus size) — process as many
-        # queries per call as memory comfortably allows
-        bs = max(self.batch_size, min(q.shape[0], 65536))
+        # The per-call cost is dominated by the host<->device query
+        # transfer, not dispatch (tools/probe_flat_overhead.py: 632ms h2d
+        # for a 32MB f32 batch vs 554ms device compute at B=65536).  Two
+        # countermeasures: (1) ship queries as bf16 — the kernel casts to
+        # the corpus dtype (bf16/i8) anyway, so the scan is unchanged and
+        # only the i8-mode exact rerank sees a bf16-rounded query; (2)
+        # split the batch into chunks and dispatch them all before the
+        # first host read-back, so JAX's async dispatch overlaps each
+        # chunk's transfer with the previous chunk's scan.
+        bs = max(self.batch_size, min(q.shape[0], 16384))
+        pending = []
         for start in range(0, q.shape[0], bs):
             chunk = q[start : start + bs]
             real = chunk.shape[0]
@@ -149,13 +156,12 @@ class BruteForceEngine(Engine):
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, q.shape[1]), np.float32)]
                 )
-            qk = (
-                jnp.asarray(
+            if i8:
+                qk = jnp.asarray(
                     quantize_query_i8(chunk, self._i8_center, self._i8_scale)
                 )
-                if i8
-                else jnp.asarray(chunk)
-            )
+            else:
+                qk = jnp.asarray(chunk.astype(ml_dtypes.bfloat16))
             ids, _ = flat_topk(
                 qk,
                 self._x_fused,
@@ -165,11 +171,14 @@ class BruteForceEngine(Engine):
                 interpret=interpret,
             )
             if i8:
-                ids, _ = _rerank_exact(
-                    jnp.asarray(chunk), self._x, self._x_norms, ids, k=k
+                qd = jnp.asarray(chunk.astype(ml_dtypes.bfloat16)).astype(
+                    jnp.float32
                 )
-            out.append(np.asarray(ids)[:real])
-        return np.concatenate(out, axis=0)
+                ids, _ = _rerank_exact(qd, self._x, self._x_norms, ids, k=k)
+            pending.append((ids, real))
+        return np.concatenate(
+            [np.asarray(ids)[:real] for ids, real in pending], axis=0
+        )
 
     def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
         assert (

@@ -70,6 +70,13 @@ class GraphIndex:
     # and (N+1, 2, Rp) norm/id aux rows, Rp = adj width padded to 128.
     packed: Optional[jax.Array] = None
     packed_aux: Optional[jax.Array] = None
+    # i8 packed serving (ops/pallas_beam.build_packed_i8): when ``packed``
+    # holds s8 codes, these carry the code corpus for entry-point scoring
+    # plus the affine query transform (centered, shared scale).
+    packed_codes: Optional[jax.Array] = None  # (N + 1, D_pad) int8
+    packed_code_norms: Optional[jax.Array] = None  # (N + 1,) f32, +inf sentinel
+    packed_center: Optional[jax.Array] = None  # (D_pad,) f32
+    packed_scale: Optional[jax.Array] = None  # () f32
 
     @property
     def n(self) -> int:
@@ -92,6 +99,10 @@ class GraphIndex:
             self.quant_offset,
             self.packed,
             self.packed_aux,
+            self.packed_codes,
+            self.packed_code_norms,
+            self.packed_center,
+            self.packed_scale,
         )
         return children, None
 

@@ -47,6 +47,9 @@ class SequentialOracle:
         self.ortho_bias = ortho_bias
         self.prune_overflow = prune_overflow
         self.rng = np.random.default_rng(seed)
+        # RECORD_STATS parity (src/antitopo_engine.h:125-128): one count
+        # per _d2 evaluated during queries; reset manually between runs
+        self.num_distcomps = 0
         self.vecs: List[np.ndarray] = []
         # per node: list over layers of edge lists [(d, id), ...]
         self.edges: List[List[List[Tuple[float, int]]]] = []
@@ -94,6 +97,7 @@ class SequentialOracle:
     ) -> List[Tuple[float, int]]:
         visited = set(entry_points)
         eps = [( _d2(q, self.vecs[e]), e) for e in entry_points]
+        self.num_distcomps += len(eps)
         candidates = list(eps)
         heapq.heapify(candidates)  # min-heap by distance
         nearest = [(-d, e) for d, e in eps]  # max-heap via negation
@@ -109,6 +113,7 @@ class SequentialOracle:
                     continue
                 visited.add(nb)
                 d_nb = _d2(q, self.vecs[nb])
+                self.num_distcomps += 1
                 if len(nearest) < ef or d_nb < -nearest[0][0]:
                     heapq.heappush(candidates, (d_nb, nb))
                     heapq.heappush(nearest, (-d_nb, nb))
@@ -120,12 +125,14 @@ class SequentialOracle:
     def _descend(self, q: np.ndarray, from_layer: int, to_layer: int) -> int:
         ep = self.starting_vertex
         ep_d = _d2(q, self.vecs[ep])
+        self.num_distcomps += 1
         for layer in range(from_layer, to_layer, -1):
             changed = True
             while changed:
                 changed = False
                 for _, nb in self.edges[ep][layer]:
                     d_nb = _d2(q, self.vecs[nb])
+                    self.num_distcomps += 1
                     if d_nb < ep_d:
                         ep, ep_d = nb, d_nb
                         changed = True

@@ -518,12 +518,33 @@ def fused_query_batch(
             precision,
         )
 
-    bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, 0].set(ep_d)
+    if graph.packed_codes is not None:
+        # s8 packed blocks score in CODE space (build_packed_i8): quantize
+        # the query with the stored affine transform and seed the beam
+        # with the entry point's code-space distance so the kernel's
+        # done/worst comparisons stay consistent; the exact f32 rerank
+        # below restores true-distance ranking (the reference's compressed
+        # beam + rerank flow, src/antitopo_engine.h:710-851, 845-848).
+        qk = jnp.clip(
+            jnp.round((q - graph.packed_center) * graph.packed_scale),
+            -127.0,
+            127.0,
+        )
+        qkn = jnp.sum(qk * qk, axis=1)
+        epc = graph.packed_codes[ep].astype(jnp.float32)
+        ep_d0 = (
+            qkn
+            + graph.packed_code_norms[ep]
+            - 2.0 * jnp.sum(qk * epc, axis=1)
+        )
+    else:
+        qk, ep_d0 = q, ep_d
+    bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, 0].set(ep_d0)
     bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, 0].set(ep)
     beam_ids, _, ncomp_rows, _ = fused_search(
         graph.packed,
         graph.packed_aux,
-        q,
+        qk,
         bd0,
         bi0,
         ef=ef_s,

@@ -253,3 +253,65 @@ def build_packed(
             jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)
         )  # (c, 2, r_tile)
     return jnp.concatenate(packed_parts), jnp.concatenate(aux_parts)
+
+
+def build_packed_i8(
+    vectors: jax.Array,  # (N+1, D) f32 corpus w/ sentinel row
+    adj: jax.Array,  # (N+1, R) int32, sentinel N padding
+    chunk: int = 32768,
+):
+    """Packed-neighbour arrays over CENTERED s8 codes: half the DMA bytes
+    per expansion of the bf16 layout (the fused traversal is DMA
+    bandwidth-bound, BENCH_NOTES), scored exactly on the s8 MXU path
+    (|code| <= 127, D <= 512 keeps integer distances < 2^24 — exact in
+    both s32 and f32).  The reference's analogous move is its packed-uint8
+    compressed beam (src/antitopo_engine.h:710-851, dist2_compressed
+    :38-61); centering + shared scale is the quantize_corpus_i8 recipe
+    (ops/pallas_topk.py) — distances are shift-invariant, so centering
+    costs nothing and minimizes clipping.
+
+    Returns ``(packed, aux, codes, code_norms, center, scale)``:
+      * ``packed`` (N+1, RS, D) int8 neighbour code blocks,
+      * ``aux`` (N+1, 2, R_tile) f32 — CODE-SPACE squared norms (+inf at
+        sentinel slots) and ids,
+      * ``codes`` (N+1, D) int8 code corpus (entry-point scoring),
+      * ``code_norms`` (N+1,) f32 (+inf sentinel),
+      * ``center`` (D,) f32 / ``scale`` () f32: query transform
+        ``qc = clip(round((q - center) * scale), -127, 127)``.
+    """
+    np1 = vectors.shape[0]
+    sentinel = np1 - 1
+    assert sentinel < (1 << 24), "f32-encoded ids require N < 2^24"
+    vf = jnp.asarray(vectors, jnp.float32)
+    center = jnp.mean(vf[:sentinel], axis=0)
+    absmax = jnp.maximum(jnp.max(jnp.abs(vf[:sentinel] - center)), 1e-30)
+    scale = 127.0 / absmax
+    codes = jnp.clip(
+        jnp.round((vf - center) * scale), -127, 127
+    ).astype(jnp.int8)
+    cf = codes.astype(jnp.float32)
+    code_norms = jnp.sum(cf * cf, axis=1).at[sentinel].set(jnp.inf)
+
+    r = adj.shape[1]
+    rs = r + ((-r) % 32)  # int8 sublane alignment for the DMA blocks
+    r_tile = rs + ((-rs) % 128)
+    adj_t = adj
+    if r_tile > r:
+        adj_t = jnp.concatenate(
+            [adj, jnp.full((np1, r_tile - r), sentinel, adj.dtype)], axis=1
+        )
+    packed_parts, aux_parts = [], []
+    for s in range(0, np1, chunk):
+        a = adj_t[s : s + chunk]
+        packed_parts.append(codes[a[:, :rs]])  # (c, rs, D) int8
+        aux_parts.append(
+            jnp.stack([code_norms[a], a.astype(jnp.float32)], axis=1)
+        )
+    return (
+        jnp.concatenate(packed_parts),
+        jnp.concatenate(aux_parts),
+        codes,
+        code_norms,
+        center,
+        scale,
+    )

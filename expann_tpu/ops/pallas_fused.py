@@ -167,6 +167,11 @@ def _fused_kernel(
             # one (8, D) x (D, 8*E*RS) matmul per 8-query subgroup: the 8x
             # row redundancy is free on the MXU, and grouping bounds the
             # VMEM intermediate at O(8 * T * E * RS) instead of O(T^2)
+            # s8 blocks take the s8 MXU path (s32 accumulate, exact — codes
+            # bound |dot| < 2^24); bf16/f32 accumulate in f32
+            acc_t = (
+                jnp.int32 if vbuf.dtype == jnp.int8 else jnp.float32
+            )
             bigs = []
             for g in range(T // 8):
                 Vg = vbuf[8 * g : 8 * (g + 1)].reshape(8 * E * RS, D)
@@ -174,8 +179,8 @@ def _fused_kernel(
                     jax.lax.dot_general(
                         qc[8 * g : 8 * (g + 1)], Vg,
                         (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                        preferred_element_type=acc_t,
+                    ).astype(jnp.float32)
                 )  # (8, 8*E*RS); row r only needs its own E*RS segment
             segs = []
             for e in range(E):

@@ -81,6 +81,40 @@ def test_engine_matches_oracle_recall():
     assert rec >= oracle_rec - 0.02, f"tpu {rec} vs oracle {oracle_rec}"
 
 
+def test_engine_distcomps_vs_oracle_selectivity():
+    """Selectivity parity (VERDICT r1 item 5): at equal ef the batched
+    graph's distance computations per query must stay within a constant
+    factor of the sequential oracle's (RECORD_STATS num_distcomps,
+    src/antitopo_engine.h:125-128).  The batched beam pays a fixed
+    expand*R cost per iteration (visited-set masking instead of per-node
+    skip), so some overhead is structural; it must be bounded, not free.
+    Measured ~2.2x on this config."""
+    x, q = _synthetic(1500, 80, 24, seed=7)
+    k, ef = 10, 40
+
+    oracle = SequentialOracle(M=12, ef_construction=80)
+    for row in x:
+        oracle.store_vector(row)
+    oracle.num_distcomps = 0
+    for row in q:
+        oracle.query_k(row, k, ef_search=ef)
+    oracle_dc = oracle.num_distcomps / len(q)
+    assert oracle_dc > 0
+
+    eng = AntitopoEngine(
+        config=AntitopoConfig(M=12, ef_construction=80, ef_search=ef)
+    )
+    eng.store_many_vectors(x)
+    eng.build()
+    eng.set_ef_search(ef)  # resets counters
+    eng.query_k_batch(q, k)
+    eng_dc = eng.num_distcomps / len(q)
+    assert eng_dc > 0
+    assert eng_dc <= 4.0 * oracle_dc, (
+        f"batched {eng_dc:.0f} vs oracle {oracle_dc:.0f} distcomps/query"
+    )
+
+
 def test_engine_compressed_path():
     # SIFT-like non-negative small-int vectors so cast-quantization is sane
     rng = np.random.default_rng(9)

@@ -12,7 +12,7 @@ from expann_tpu.ops.pallas_beam import build_packed
 from expann_tpu.ops.pallas_fused import fused_search
 
 
-def _build(x, expand=1, use_fused=True, qt=8, cand=8, ef=40):
+def _build(x, expand=1, use_fused=True, qt=8, cand=8, ef=40, packed_dtype="bf16"):
     cfg = AntitopoConfig(
         M=12,
         ef_construction=60,
@@ -22,6 +22,7 @@ def _build(x, expand=1, use_fused=True, qt=8, cand=8, ef=40):
         use_fused=use_fused,
         fused_qt=qt,
         fused_cand=cand,
+        packed_dtype=packed_dtype,
         seed=0,
     )
     eng = AntitopoEngine(config=cfg)
@@ -56,6 +57,32 @@ def test_query_fused_matches_packed(expand, cand):
         valid = row[(row >= 0) & (row < n)]
         assert len(set(valid.tolist())) == len(valid)
     assert fused_eng.num_distcomps > 0
+
+
+def test_query_fused_i8_matches_bf16():
+    """s8 packed blocks (code-space scoring + exact f32 rerank) must match
+    the bf16 fused path's recall within a small quantization give."""
+    rng = np.random.default_rng(4)
+    n, d, k = 600, 32, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((40, d)).astype(np.float32)
+    d2 = ((queries[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, gt)])
+
+    bf16_eng = _build(x, expand=2, cand=16)
+    i8_eng = _build(x, expand=2, cand=16, packed_dtype="i8")
+    assert i8_eng.graph is not None
+    r_bf16 = recall(bf16_eng.query_k_batch(queries, k))
+    ids = i8_eng.query_k_batch(queries, k)
+    r_i8 = recall(ids)
+    assert i8_eng.graph.packed.dtype == jnp.int8
+    assert r_i8 >= r_bf16 - 0.03, (r_i8, r_bf16)
+    for row in ids:
+        valid = row[(row >= 0) & (row < n)]
+        assert len(set(valid.tolist())) == len(valid)
 
 
 def test_fused_search_exact_on_full_beam():
