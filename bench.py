@@ -122,6 +122,19 @@ def main() -> None:
         qps = _qps(graph, d, k, Q=8192)
         points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps))
 
+    # s8 packed blocks: half the DMA bytes of the bandwidth-bound fused
+    # traversal (same graph, repacked layout; exact f32 rerank)
+    if not quick:
+        graph.set_packed_dtype("i8")
+        for mult in [10, 12]:
+            graph.set_ef_search(k * mult)
+            rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
+            distcomps = (
+                graph.num_distcomps + graph.num_distcomps_compressed
+            ) / m
+            qps = _qps(graph, d, k, Q=8192)
+            points.append((f"antitopo_i8_ef{k * mult}", rec, qps, distcomps))
+
     qualifying = [p for p in points if p[1] >= RECALL_TARGET]
     best = max(qualifying, key=lambda p: p[2]) if qualifying else max(
         points, key=lambda p: p[1]

@@ -247,6 +247,25 @@ class AntitopoEngine(Engine):
         self.num_distcomps_compressed = 0
         self.total_query_time_ns = 0.0
 
+    def set_packed_dtype(self, dtype: str) -> None:
+        """Switch the packed serving layout ("bf16" | "i8") on a built
+        index; the packed arrays are dropped and lazily rebuilt on the
+        next query (no graph rebuild)."""
+        assert dtype in ("bf16", "i8"), dtype
+        if dtype == self.cfg.packed_dtype:
+            return
+        self.cfg.packed_dtype = dtype
+        if self.graph is not None:
+            self.graph = dataclasses.replace(
+                self.graph,
+                packed=None,
+                packed_aux=None,
+                packed_codes=None,
+                packed_code_norms=None,
+                packed_center=None,
+                packed_scale=None,
+            )
+
     def _ef(self, k: int) -> int:
         if self.cfg.ef_search is not None:
             return max(int(self.cfg.ef_search), k)

@@ -55,12 +55,15 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 @dataclasses.dataclass
 class ShardedIndex:
-    """S stacked single-shard bottom-layer sub-indexes, device-sharded on
-    the leading axis.  Per-shard global ids are ``shard * n_shard + local``.
+    """S stacked single-shard sub-indexes, device-sharded on the leading
+    axis.  Per-shard global ids are ``shard * n_shard + local``.
 
-    Upper HNSW layers are omitted per shard: each shard is 1/S of the
-    corpus, and the beam starts from the shard's build-time starting vertex;
-    hierarchical descent matters at much larger per-shard scale (planned).
+    Upper HNSW layers are stacked per level across shards (padded to the
+    max member count / degree; shards missing a level get all-sentinel
+    rows, making descent a no-op there), so every shard's beam starts
+    from a hierarchically descended entry point exactly like the
+    single-chip engine (reference upper-layer descent:
+    src/antitopo_engine.h:878-893).
     """
 
     vectors: jax.Array  # (S, n_shard + 1, D)
@@ -73,6 +76,11 @@ class ShardedIndex:
     # shard, stacked on the shard axis) — set by pack_sharded()
     packed: Optional[jax.Array] = None  # (S, n_shard + 1, RS, D)
     packed_aux: Optional[jax.Array] = None  # (S, n_shard + 1, 2, R_tile)
+    # stacked upper layers, level-major: slot maps local id -> adj row
+    # (sentinel nl_max for non-members), adj stores LOCAL ids (sentinel
+    # n_shard); tuples have one entry per level, bottom-up
+    layer_slots: Tuple[jax.Array, ...] = ()  # each (S, n_shard + 1)
+    layer_adjs: Tuple[jax.Array, ...] = ()  # each (S, nl_max + 1, Ru)
 
     @property
     def n_shard(self) -> int:
@@ -99,6 +107,7 @@ def build_sharded(
     n_shard = (n + S - 1) // S
 
     vec_blocks, norm_blocks, adj_blocks, starts = [], [], [], []
+    shard_layers = []  # per shard: list of (slot (local_n+1,), adj (n_l+1, Ru))
     R = None
     for s in range(S):
         part = x[s * n_shard : (s + 1) * n_shard]
@@ -106,6 +115,9 @@ def build_sharded(
         v = np.asarray(g.vectors)
         nm = np.asarray(g.norms)
         a = np.asarray(g.adj_bottom)
+        shard_layers.append(
+            [(np.asarray(L.slot), np.asarray(L.adj)) for L in g.layers]
+        )
         local_n = part.shape[0]
         if local_n < n_shard:
             # pad to the common shard width with unreachable sentinel rows
@@ -131,6 +143,36 @@ def build_sharded(
         np.pad(a, ((0, 0), (0, R - a.shape[1])), constant_values=n_shard)
         for a in adj_blocks
     ]
+
+    # ---- stack upper layers level-major across shards ----
+    # pad each level to the max member count / degree; a shard missing the
+    # level gets an all-sentinel slot table, making its descent a no-op
+    n_levels = max((len(ls) for ls in shard_layers), default=0)
+    layer_slots, layer_adjs = [], []
+    for lvl in range(n_levels):
+        have = [
+            ls[lvl] if lvl < len(ls) else None for ls in shard_layers
+        ]
+        nl_max = max(sl[1].shape[0] - 1 for sl in have if sl is not None)
+        ru_max = max(sl[1].shape[1] for sl in have if sl is not None)
+        slots = np.full((S, n_shard + 1), nl_max, np.int32)
+        adjs = np.full((S, nl_max + 1, ru_max), n_shard, np.int32)
+        for s, sl in enumerate(have):
+            if sl is None:
+                continue
+            slot, adj_l = sl
+            n_l = adj_l.shape[0] - 1
+            local_np1 = slot.shape[0]
+            # member slots carry over; the shard's own sentinel (n_l) and
+            # any shard-padding rows map to the common sentinel nl_max
+            s_fix = np.where(slot >= n_l, nl_max, slot)
+            slots[s, : local_np1 - 1] = s_fix[:-1]
+            # adj stores local ids w/ shard sentinel local_n -> n_shard
+            a_fix = np.where(adj_l >= local_np1 - 1, n_shard, adj_l)
+            adjs[s, :n_l, : adj_l.shape[1]] = a_fix[:n_l]
+        layer_slots.append(slots)
+        layer_adjs.append(adjs)
+
     sharding = NamedSharding(mesh, P(AXIS))
     return ShardedIndex(
         vectors=jax.device_put(np.stack(vec_blocks), sharding),
@@ -139,6 +181,10 @@ def build_sharded(
         start=jax.device_put(np.asarray(starts, np.int32), sharding),
         n_total=n,
         mesh=mesh,
+        layer_slots=tuple(
+            jax.device_put(s, sharding) for s in layer_slots
+        ),
+        layer_adjs=tuple(jax.device_put(a, sharding) for a in layer_adjs),
     )
 
 
@@ -146,19 +192,28 @@ def build_sharded(
     jax.jit, static_argnames=("k", "ef", "max_iters", "n_shard", "mesh", "precision")
 )
 def _sharded_query(
-    vectors, norms, adj, start, q, k: int, ef: int, max_iters: int,
+    vectors, norms, adj, start, layer_slots, layer_adjs, q,
+    k: int, ef: int, max_iters: int,
     n_shard: int, mesh: Mesh, precision: str
 ):
-    """Replicated queries fan out to every shard; per-shard beams are
-    all-gathered (the out-spec resharding rides ICI) and merged."""
+    """Replicated queries fan out to every shard; each shard descends its
+    own upper layers greedily, beam-searches its bottom layer, and the
+    per-shard beams are all-gathered (the out-spec resharding rides ICI)
+    and merged."""
+    from expann_tpu.models.search import _gather_dist2, greedy_descent
 
-    def per_shard(vec, nrm, a, st, q):
+    def per_shard(vec, nrm, a, st, slots, adjs, q):
         vec, nrm, a = vec[0], nrm[0], a[0]
         qn = squared_norms(q)
         B = q.shape[0]
-        ep = jnp.broadcast_to(st, (B,)).astype(jnp.int32)[:, None]
+        ep = jnp.broadcast_to(st, (B,)).astype(jnp.int32)
+        ep_d = _gather_dist2(vec, nrm, ep[:, None], q, qn, precision)[:, 0]
+        for sl, al in zip(reversed(slots), reversed(adjs)):
+            ep, ep_d = greedy_descent(
+                vec, nrm, sl[0], al[0], q, qn, ep, ep_d, precision
+            )
         ids, d, _ = beam_search(
-            vec, nrm, a, q, qn, ep,
+            vec, nrm, a, q, qn, ep[:, None],
             ef=ef, max_iters=max_iters, sentinel=n_shard, precision=precision,
         )
         shard_id = jax.lax.axis_index(AXIS)
@@ -167,12 +222,16 @@ def _sharded_query(
         )
         return gids[None], d[:, :k][None]
 
+    L = len(layer_slots)
     gids, d = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+            (P(AXIS),) * L, (P(AXIS),) * L, P(),
+        ),
         out_specs=(P(AXIS), P(AXIS)),
-    )(vectors, norms, adj, start, q)
+    )(vectors, norms, adj, start, layer_slots, layer_adjs, q)
     # (S, B, k) -> global top-k merge
     S, B, _ = gids.shape
     all_d = jnp.transpose(d, (1, 0, 2)).reshape(B, S * k)
@@ -198,6 +257,8 @@ def sharded_query_batch(
         index.norms,
         index.adj,
         index.start,
+        index.layer_slots,
+        index.layer_adjs,
         jnp.asarray(q),
         k=k,
         ef=max(ef, k),
@@ -240,25 +301,30 @@ def pack_sharded(index: ShardedIndex, dtype=jnp.bfloat16) -> ShardedIndex:
     ),
 )
 def _sharded_packed_query(
-    packed, aux, vectors, norms, start, q,
+    packed, aux, vectors, norms, start, layer_slots, layer_adjs, q,
     k: int, ef: int, expand: int, cand: int, qt: int, max_iters: int,
     n_shard: int, mesh: Mesh, interpret: bool,
 ):
     """Per-shard fully fused Pallas traversal (ops/pallas_fused.py) inside
-    shard_map, exact per-shard f32 rerank, then a global all-gather top-k
-    merge over ICI — the packed counterpart of ``_sharded_query``."""
-    from expann_tpu.models.search import _gather_dist2
+    shard_map — upper-layer greedy descent, fused bottom beam, exact
+    per-shard f32 rerank — then a global all-gather top-k merge over ICI;
+    the packed counterpart of ``_sharded_query``."""
+    from expann_tpu.models.search import _gather_dist2, greedy_descent
     from expann_tpu.ops.pallas_fused import fused_search
 
     EF = ef + ((-ef) % 128)
 
-    def per_shard(pk, ax, vec, nrm, st, q):
+    def per_shard(pk, ax, vec, nrm, st, slots, adjs, q):
         pk, ax, vec, nrm = pk[0], ax[0], vec[0], nrm[0]
         qf = q.astype(jnp.float32)
         qn = squared_norms(qf)
         B = q.shape[0]
         ep = jnp.broadcast_to(st, (B,)).astype(jnp.int32)
         ep_d = _gather_dist2(vec, nrm, ep[:, None], qf, qn, "default")[:, 0]
+        for sl, al in zip(reversed(slots), reversed(adjs)):
+            ep, ep_d = greedy_descent(
+                vec, nrm, sl[0], al[0], qf, qn, ep, ep_d, "default"
+            )
         bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
         bi0 = jnp.full((B, EF), n_shard, jnp.int32).at[:, 0].set(ep)
         ids, _, _, _ = fused_search(
@@ -278,10 +344,14 @@ def _sharded_packed_query(
     gids, d = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+            (P(AXIS),) * len(layer_slots), (P(AXIS),) * len(layer_slots),
+            P(),
+        ),
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma metadata
-    )(packed, aux, vectors, norms, start, q)
+    )(packed, aux, vectors, norms, start, layer_slots, layer_adjs, q)
     S, B, _ = gids.shape
     all_d = jnp.transpose(d, (1, 0, 2)).reshape(B, S * k)
     all_i = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
@@ -315,6 +385,8 @@ def sharded_packed_query(
         index.vectors,
         index.norms,
         index.start,
+        index.layer_slots,
+        index.layer_adjs,
         jnp.asarray(q),
         k=k,
         ef=max(ef, k),

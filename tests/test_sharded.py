@@ -116,6 +116,23 @@ def test_replicated_dp_query():
     assert rec >= 0.9, f"dp recall {rec}"
 
 
+def test_sharded_index_has_stacked_upper_layers():
+    """Per-shard upper layers are stacked per level; shards missing a
+    level descend as a no-op (all-sentinel slots)."""
+    x, q = _data(2400, 10, 16, seed=3)
+    mesh = make_mesh(8)
+    idx = build_sharded(x, BuildConfig(M=8, ef_construction=40), mesh)
+    assert len(idx.layer_slots) >= 1  # 300 rows/shard, p=1/8 per level
+    S = idx.num_shards
+    for sl, al in zip(idx.layer_slots, idx.layer_adjs):
+        assert sl.shape[0] == S and sl.shape[1] == idx.n_shard + 1
+        assert al.shape[0] == S
+        # slot values index adj rows (incl. the common sentinel row)
+        assert int(jnp.max(sl)) <= al.shape[1] - 1
+        # adjacency ids are local w/ sentinel n_shard
+        assert int(jnp.max(al)) <= idx.n_shard
+
+
 def test_sharded_packed_query_matches_row_gather_path():
     """Per-shard fused Pallas traversal (interpret mode on CPU) must match
     the row-gather sharded path's recall on the same index."""

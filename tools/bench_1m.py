@@ -101,12 +101,18 @@ def main():
         results.append({"point": "build", "build_s": round(build_s, 1),
                         "n": n, **stats})
 
-    # ---- graph query pareto (packed) ----
+    # ---- graph query pareto (fused traversal; ef <= 128 reuses ONE
+    # compile since ef is a runtime scalar, ef=160 compiles the 256-wide
+    # beam variant once) ----
     rng = np.random.default_rng(99)
-    for expand, ef, topt in [(4, 40, 8), (4, 80, 8), (4, 120, 8), (8, 160, 16)]:
+    for expand, ef, cand, pdt in [
+        (2, 40, 16, "bf16"), (2, 80, 16, "bf16"), (2, 120, 16, "bf16"),
+        (2, 160, 32, "bf16"), (2, 120, 16, "i8"),
+    ]:
         acfg = AntitopoConfig(
             M=args.M, ef_construction=args.efc, ef_search=ef,
-            query_expand=expand, packed_topt=topt, query_block=4096,
+            query_expand=expand, fused_cand=cand, packed_dtype=pdt,
+            query_block=4096,
             precision="default", use_packed=True,
             index_filename=IDX, read_index=True,
         )
@@ -122,7 +128,7 @@ def main():
             t0 = time.perf_counter()
             eng.query_k_batch(qs, k)
             best = min(best, time.perf_counter() - t0)
-        pt = {"point": f"antitopo_ef{ef}_e{expand}_t{topt}",
+        pt = {"point": f"antitopo_ef{ef}_e{expand}_c{cand}_{pdt}",
               "recall": round(rec, 4), "qps": round(B / best, 1),
               "distcomps": round(dc, 1)}
         results.append(pt)
