@@ -357,11 +357,17 @@ class AntitopoEngine(Engine):
             )
             if fused_this and not compressed:
                 # ef is a runtime scalar here: sweeping ef_search reuses
-                # one compile (models/search.fused_query_batch)
+                # one compile (models/search.fused_query_batch).  Queries
+                # ship as bf16 — the kernel scores bf16/s8 blocks anyway
+                # and the axon host->device link is the dominant per-call
+                # cost (tools/probe_flat_overhead.py) — and are upcast to
+                # f32 on device for descent/rerank.
+                import ml_dtypes
+
                 qt = min(self.cfg.fused_qt, bucket)
                 ids, _, ncomp = fused_query_batch(
                     self.graph,
-                    jnp.asarray(chunk),
+                    jnp.asarray(chunk.astype(ml_dtypes.bfloat16)),
                     ef=np.int32(ef),
                     k=k,
                     ef_cap=ef + ((-ef) % 128),
@@ -388,14 +394,19 @@ class AntitopoEngine(Engine):
                     packed_topt=self.cfg.packed_topt,
                     interpret=bool(packed_ok and interpret),
                 )
-            ids = np.asarray(ids)[:real]
+            # defer host conversion: converting inside the loop would
+            # block each chunk and serialize transfer against compute
+            # (JAX dispatch is async; the flat engine does the same)
+            out.append((ids, ncomp, real))
+        res = []
+        for ids, ncomp, real in out:
+            res.append(np.asarray(ids)[:real])
             if self.cfg.use_compression:
                 self.num_distcomps_compressed += int(ncomp)
             else:
                 self.num_distcomps += int(ncomp)
-            out.append(ids)
         self.total_query_time_ns += _time.perf_counter_ns() - t_begin
-        return np.concatenate(out, axis=0)
+        return np.concatenate(res, axis=0)
 
     def query_k(self, v: np.ndarray, k: int) -> List[int]:
         ids = self.query_k_batch(np.asarray(v, np.float32)[None, :], k)[0]

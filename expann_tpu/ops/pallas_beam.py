@@ -244,15 +244,35 @@ def build_packed(
         adj_t = jnp.concatenate(
             [adj, jnp.full((np1, r_tile - r), sentinel, adj.dtype)], axis=1
         )
-    packed_parts = []
-    aux_parts = []
+    return _pack_chunks(vectors, norms, adj_t, rs, dtype, chunk)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("rs",))
+def _pack_write(packed, aux, vectors, norms, a, s, rs: int):
+    """Gather one adjacency chunk's blocks and write them in place.
+
+    ``donate_argnums`` makes the update truly in-place: a chunked
+    ``jnp.concatenate`` assembly needs 2x the packed bytes transiently,
+    which OOMs HBM at the million-row scale (packed is ~8GB at N=1M,
+    R=32, bf16 on a 16GB chip)."""
+    block = vectors[a[:, :rs]].astype(packed.dtype)
+    packed = jax.lax.dynamic_update_slice(packed, block, (s, 0, 0))
+    arow = jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)
+    aux = jax.lax.dynamic_update_slice(aux, arow, (s, 0, 0))
+    return packed, aux
+
+
+def _pack_chunks(vectors, norms, adj_t, rs, dtype, chunk):
+    np1, r_tile = adj_t.shape
+    D = vectors.shape[1]
+    packed = jnp.zeros((np1, rs, D), dtype)
+    aux = jnp.zeros((np1, 2, r_tile), jnp.float32)
     for s in range(0, np1, chunk):
-        a = adj_t[s : s + chunk]  # (c, r_tile)
-        packed_parts.append(vectors[a[:, :rs]].astype(dtype))  # (c, rs, D)
-        aux_parts.append(
-            jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)
-        )  # (c, 2, r_tile)
-    return jnp.concatenate(packed_parts), jnp.concatenate(aux_parts)
+        a = adj_t[s : s + chunk]  # (c, r_tile); tail chunk is smaller
+        packed, aux = _pack_write(
+            packed, aux, vectors, norms, a, jnp.int32(s), rs=rs
+        )
+    return packed, aux
 
 
 def build_packed_i8(
@@ -300,18 +320,5 @@ def build_packed_i8(
         adj_t = jnp.concatenate(
             [adj, jnp.full((np1, r_tile - r), sentinel, adj.dtype)], axis=1
         )
-    packed_parts, aux_parts = [], []
-    for s in range(0, np1, chunk):
-        a = adj_t[s : s + chunk]
-        packed_parts.append(codes[a[:, :rs]])  # (c, rs, D) int8
-        aux_parts.append(
-            jnp.stack([code_norms[a], a.astype(jnp.float32)], axis=1)
-        )
-    return (
-        jnp.concatenate(packed_parts),
-        jnp.concatenate(aux_parts),
-        codes,
-        code_norms,
-        center,
-        scale,
-    )
+    packed, aux = _pack_chunks(codes, code_norms, adj_t, rs, jnp.int8, chunk)
+    return packed, aux, codes, code_norms, center, scale

@@ -172,31 +172,58 @@ def _fused_kernel(
             acc_t = (
                 jnp.int32 if vbuf.dtype == jnp.int8 else jnp.float32
             )
-            bigs = []
-            for g in range(T // 8):
-                Vg = vbuf[8 * g : 8 * (g + 1)].reshape(8 * E * RS, D)
-                bigs.append(
-                    jax.lax.dot_general(
-                        qc[8 * g : 8 * (g + 1)], Vg,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=acc_t,
-                    ).astype(jnp.float32)
-                )  # (8, 8*E*RS); row r only needs its own E*RS segment
+            if RS % 128 == 0:
+                # one (8, D) x (D, 8*E*RS) matmul per 8-query subgroup:
+                # the 8x row redundancy is free on the MXU, and grouping
+                # bounds the VMEM intermediate at O(8 * T * E * RS)
+                bigs = []
+                for g in range(T // 8):
+                    Vg = vbuf[8 * g : 8 * (g + 1)].reshape(8 * E * RS, D)
+                    bigs.append(
+                        jax.lax.dot_general(
+                            qc[8 * g : 8 * (g + 1)], Vg,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=acc_t,
+                        ).astype(jnp.float32)
+                    )  # (8, 8*E*RS); row r only needs its own E*RS segment
+                dots = [
+                    jnp.concatenate(
+                        [
+                            bigs[qi // 8][
+                                qi % 8 : qi % 8 + 1,
+                                ((qi % 8) * E + e) * RS
+                                : ((qi % 8) * E + e + 1) * RS,
+                            ]
+                            for qi in range(T)
+                        ],
+                        axis=0,
+                    )  # (T, RS)
+                    for e in range(E)
+                ]
+            else:
+                # RS < 128: the subgroup extraction above would slice the
+                # matmul output at non-128-aligned lane offsets, which
+                # Mosaic rejects ("offset mismatch on non-concat
+                # dimension"), and batched matvec dot_generals fail to
+                # lower.  Score each query against ITS OWN blocks with a
+                # broadcast multiply + lane reduction instead — exact in
+                # f32 for both bf16 vectors and s8 codes (|products| and
+                # sums stay < 2^24), and low-degree graphs are DMA bound,
+                # not FLOP bound, so skipping the MXU costs little.
+                del acc_t
+                qf32 = qc.astype(jnp.float32)
+                dots = [
+                    jnp.sum(
+                        qf32[:, None, :] * vbuf[:, e].astype(jnp.float32),
+                        axis=-1,
+                    )
+                    for e in range(E)
+                ]
             segs = []
             for e in range(E):
-                dots_e = jnp.concatenate(
-                    [
-                        bigs[qi // 8][
-                            qi % 8 : qi % 8 + 1,
-                            ((qi % 8) * E + e) * RS : ((qi % 8) * E + e + 1) * RS,
-                        ]
-                        for qi in range(T)
-                    ],
-                    axis=0,
-                )  # (T, RS)
                 nrm_e = abuf[:, e, 0, :RS]  # +inf at sentinel/pad slots
                 ids_e = abuf[:, e, 1, :RS].astype(jnp.int32)
-                segs.append((nrm_e + qn - 2.0 * dots_e, ids_e))
+                segs.append((nrm_e + qn - 2.0 * dots[e], ids_e))
 
         if "skip_merge" not in DBG:
             # --- merge: per-segment extract-min, immediate replace-max
