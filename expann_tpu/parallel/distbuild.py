@@ -131,10 +131,38 @@ def _dist_wave_step(
 
         def per_shard_flat(xsb, wq, wgids):
             xsb = xsb[0]  # (n_flat_pad, D) bf16, zero pad rows
-            ids, d = flat_topk(
-                wq, xsb, n_real=xsb.shape[0], k=C + 1,
-                interpret=interpret,
-            )
+            # flat_topk's lane-pooled extraction supports k <= 128; wider
+            # candidate lists (efc up to ~500) scan the shard in segments
+            # of the corpus and merge the per-segment top-(<=128) lists —
+            # the corpus stream cost is identical, only the merge widens
+            n_seg = (C + 1 + 127) // 128
+            seg_rows = xsb.shape[0] // n_seg
+            seg_rows += (-seg_rows) % 1024  # corpus_block alignment
+            kk = min(C + 1, 128)
+            parts = []
+            for si in range(n_seg):
+                s0 = si * seg_rows
+                s1 = min(s0 + seg_rows, xsb.shape[0])
+                if s0 >= xsb.shape[0]:
+                    break
+                ids_s, d_s = flat_topk(
+                    wq, xsb[s0:s1], n_real=s1 - s0, k=kk,
+                    interpret=interpret,
+                )
+                parts.append((d_s, ids_s + s0))
+            if len(parts) == 1:
+                d, ids = parts[0]
+            else:
+                d = jnp.concatenate([p[0] for p in parts], axis=1)
+                ids = jnp.concatenate([p[1] for p in parts], axis=1)
+            if d.shape[1] < C:
+                # tiny shards can cover the whole corpus in fewer segments
+                # than C needs; pad to the fixed output width
+                padw = C - d.shape[1]
+                d = jnp.pad(d, ((0, 0), (0, padw)), constant_values=INF)
+                ids = jnp.pad(
+                    ids, ((0, 0), (0, padw)), constant_values=n_shard
+                )
             shard_id = jax.lax.axis_index(AXIS)
             gid = ids + shard_id * n_shard
             # mask shard pad rows (zero vectors score finitely) and self;

@@ -68,17 +68,24 @@ def test_engine_matches_oracle_recall():
     oracle = SequentialOracle(M=12, ef_construction=80)
     for row in x:
         oracle.store_vector(row)
-    oracle_ans = np.array([oracle.query_k(row, k, ef_search=ef) for row in q])
-    oracle_rec = _recall(oracle_ans, gt)
 
     eng = AntitopoEngine(
         config=AntitopoConfig(M=12, ef_construction=80, ef_search=ef)
     )
     eng.store_many_vectors(x)
     eng.build()
-    ans = eng.query_k_batch(q, k)
-    rec = _recall(ans, gt)
-    assert rec >= oracle_rec - 0.02, f"tpu {rec} vs oracle {oracle_rec}"
+    # parity across the reference's own ef grid (ef_search_mult 2/4/6,
+    # src/bench_runner.h:133-163), not just one operating point
+    for ef_i in (2 * k, 4 * k, 6 * k):
+        oracle_rec = _recall(
+            np.array([oracle.query_k(row, k, ef_search=ef_i) for row in q]),
+            gt,
+        )
+        eng.set_ef_search(ef_i)
+        rec = _recall(eng.query_k_batch(q, k), gt)
+        assert rec >= oracle_rec - 0.03, (
+            f"ef={ef_i}: tpu {rec} vs oracle {oracle_rec}"
+        )
 
 
 def test_engine_distcomps_vs_oracle_selectivity():

@@ -67,6 +67,28 @@ def test_distributed_build_flat_candidates():
     assert recs["flat"] >= 0.8, recs
 
 
+def test_distributed_build_flat_wide_candidates():
+    """Candidate lists wider than flat_topk's k<=128 cap scan the corpus
+    in segments and merge (enables efc up to ~500 at the million-row
+    scale); recall must track the dense path at the same width."""
+    x, q = _data(2048, 30, 32, seed=8)
+    k, ef = 10, 40
+    gt = _gt(x, q, k)
+    mesh = make_mesh(8)
+    cfg = BuildConfig(M=8, ef_construction=160, prune_cand=160)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 96))))
+
+    recs = {}
+    for cand in ("dense", "flat"):
+        graph, stats = build_distributed(
+            x, cfg, mesh, wave_size=256, mode="oneshot", candidates=cand
+        )
+        ids, _, _ = query_batch(graph, qp, k=k, ef=ef)
+        recs[cand] = _recall(np.asarray(ids), gt)
+    assert recs["flat"] >= recs["dense"] - 0.05, recs
+    assert recs["flat"] >= 0.8, recs
+
+
 @pytest.mark.parametrize("mode", ["oneshot", "incremental"])
 def test_distributed_build_one_global_graph(mode):
     x, q = _data(4000, 60, 32)

@@ -28,7 +28,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-IDX = "/tmp/expann_1m_idx.npz"
 GT = "/tmp/expann_1m_gt.npz"
 
 
@@ -39,9 +38,13 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
-    ap.add_argument("--M", type=int, default=16)  # M0 = 32 -> packed fits HBM
-    ap.add_argument("--efc", type=int, default=96)
+    # M=32 (M0=64): the strongest graph whose s8 packed layout fits 16GB
+    # HBM at N=1M; efc caps at 127 (flat_topk candidate extraction k<=128)
+    ap.add_argument("--M", type=int, default=32)
+    ap.add_argument("--efc", type=int, default=127)
     args = ap.parse_args()
+    global IDX
+    IDX = f"/tmp/expann_1m_idx_M{args.M}.npz"
 
     import jax.numpy as jnp
 
@@ -105,10 +108,15 @@ def main():
     # compile since ef is a runtime scalar, ef=160 compiles the 256-wide
     # beam variant once) ----
     rng = np.random.default_rng(99)
-    for expand, ef, cand, pdt in [
-        (2, 40, 16, "bf16"), (2, 80, 16, "bf16"), (2, 120, 16, "bf16"),
-        (2, 160, 32, "bf16"), (2, 120, 16, "i8"),
-    ]:
+    # bf16 packed blocks need n*roundup(M0,16)*128*2 bytes of HBM; above
+    # ~10GB only the s8 layout fits alongside the corpus on a 16GB chip
+    rs16 = 2 * args.M + ((-2 * args.M) % 16)
+    bf16_fits = n * rs16 * 128 * 2 < 10e9
+    pts = [(2, 40, 16), (2, 80, 16), (2, 120, 16), (2, 200, 32), (2, 256, 32)]
+    plist = [(e_, ef_, c_, "i8") for e_, ef_, c_ in pts]
+    if bf16_fits:
+        plist += [(2, 120, 16, "bf16")]
+    for expand, ef, cand, pdt in plist:
         acfg = AntitopoConfig(
             M=args.M, ef_construction=args.efc, ef_search=ef,
             query_expand=expand, fused_cand=cand, packed_dtype=pdt,
