@@ -64,6 +64,35 @@ def generate_synthetic(
     return vecs, queries
 
 
+def generate_synthetic_clustered(
+    n: int,
+    m: int,
+    d: int,
+    n_clusters: int = 1000,
+    sigma: float = 0.3,
+    seed: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mixture-of-Gaussians synthetic data: N(0,1) cluster centers, points
+    ``center + sigma * N(0,1)``.  No reference counterpart (its synthetic
+    generator is isotropic Gaussian, src/randomgeometry.h:73-96) — this
+    models the LOW intrinsic dimension of real ANN corpora (SIFT1M: ~15):
+    isotropic Gaussian d=128 at N=1e6 is a curse-of-dimensionality regime
+    where every graph method degrades (BENCH_NOTES million-row section);
+    clustered data is where graph traversal beats brute force at scale.
+    Queries are drawn from the same mixture."""
+    rng = np.random.default_rng(42 if seed is None else seed)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+
+    def draw(count):
+        which = rng.integers(0, n_clusters, size=count)
+        return (
+            centers[which]
+            + sigma * rng.standard_normal((count, d)).astype(np.float32)
+        ).astype(np.float32)
+
+    return draw(n), draw(m)
+
+
 def load_synthetic_uniform_sphere_points(
     n: int,
     m: int,

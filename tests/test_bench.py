@@ -89,3 +89,26 @@ def test_fvecs_ivecs_roundtrip(tmp_path):
             row.tofile(f)
     got = read_vecs(ipath, np.int64)
     np.testing.assert_array_equal(got, imat.astype(np.int64))
+
+
+def test_clustered_synthetic_generator():
+    """Mixture-of-Gaussians generator: deterministic by seed, and the
+    neighbourhood contrast (nn distance << mean distance) that isotropic
+    Gaussian data lacks at high d — the property that makes it a
+    SIFT-like 1M benchmark surrogate (tools/bench_1m.py --data clustered)."""
+    from expann_tpu.data.loader import generate_synthetic_clustered
+
+    x, q = generate_synthetic_clustered(
+        4000, 50, 32, n_clusters=40, sigma=0.3, seed=3
+    )
+    x2, q2 = generate_synthetic_clustered(
+        4000, 50, 32, n_clusters=40, sigma=0.3, seed=3
+    )
+    assert x.shape == (4000, 32) and q.shape == (50, 32)
+    assert x.dtype == np.float32
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(q, q2)
+    d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    nn = np.sqrt(np.sort(d, axis=1)[:, :5].mean())
+    mean = np.sqrt(d.mean())
+    assert nn < 0.5 * mean, (nn, mean)

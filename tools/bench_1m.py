@@ -42,13 +42,22 @@ def main():
     # HBM at N=1M; efc caps at 127 (flat_topk candidate extraction k<=128)
     ap.add_argument("--M", type=int, default=32)
     ap.add_argument("--efc", type=int, default=127)
+    # "gaussian" = the reference's isotropic synthetic (hard at 1M —
+    # curse of dimensionality); "clustered" = mixture of 1000 Gaussians
+    # modelling real-corpus intrinsic dimension (SIFT-like)
+    ap.add_argument("--data", choices=("gaussian", "clustered"),
+                    default="gaussian")
     args = ap.parse_args()
-    global IDX
-    IDX = f"/tmp/expann_1m_idx_M{args.M}.npz"
+    global IDX, GT
+    IDX = f"/tmp/expann_1m_idx_M{args.M}_{args.data}.npz"
+    GT = f"/tmp/expann_1m_gt_{args.data}.npz"
 
     import jax.numpy as jnp
 
-    from expann_tpu.data.loader import generate_synthetic
+    from expann_tpu.data.loader import (
+        generate_synthetic,
+        generate_synthetic_clustered,
+    )
     from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
     from expann_tpu.models.brute_force import BruteForceEngine
     from expann_tpu.models.build import BuildConfig
@@ -58,7 +67,10 @@ def main():
 
     n, m, d, k = args.n, args.m, args.d, args.k
     print(f"generating synthetic n={n} d={d} ...", flush=True)
-    x, queries = generate_synthetic(n, m, d, seed=0)
+    if args.data == "clustered":
+        x, queries = generate_synthetic_clustered(n, m, d, seed=0)
+    else:
+        x, queries = generate_synthetic(n, m, d, seed=0)
 
     # ---- exact ground truth ----
     if os.path.exists(GT):
