@@ -106,6 +106,10 @@ def main() -> None:
         fused_cand=16,
         fused_qt=128,
         query_block=4096,
+        # dense multi-seed entry scan: same recall, ~1.7x QPS (better
+        # entries -> far fewer traversal iterations; the upper-layer
+        # member matmul is nearly free on the MXU)
+        entry_seeds=8,
         precision="default",
     )
     graph = AntitopoEngine(config=cfg)

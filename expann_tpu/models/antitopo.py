@@ -88,6 +88,12 @@ class AntitopoConfig:
     # traversal is DMA-bound, so ~2x QPS at a small in-kernel ranking
     # coarsening that the exact f32 rerank mostly recovers)
     packed_dtype: str = "bf16"
+    # >0: seed the fused beam with the top-entry_seeds members of the
+    # largest upper layer (<= 65536 members) by one dense MXU scan instead
+    # of single-path greedy descent — escapes wrong-basin entries on
+    # clustered/multi-modal corpora (measured recall plateau at 1M,
+    # BENCH_NOTES); 0 keeps the reference's greedy descent semantics
+    entry_seeds: int = 0
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -308,6 +314,30 @@ class AntitopoEngine(Engine):
                 self.graph = dataclasses.replace(
                     self.graph, packed=packed, packed_aux=aux
                 )
+        if (
+            on
+            and c.entry_seeds > 0
+            and self.graph.entry_members is None
+            and self.graph.layers
+        ):
+            # largest upper layer within the dense-scan budget
+            pick = None
+            for L in self.graph.layers:  # bottom-up: decreasing size
+                if L.adj.shape[0] - 1 <= 65536:
+                    pick = L
+                    break
+            if pick is not None:
+                slot = np.asarray(pick.slot)
+                n_l = pick.adj.shape[0] - 1
+                mem = np.nonzero(slot[:-1] != n_l)[0].astype(np.int32)
+                pad = (-mem.size) % 128
+                if pad:
+                    mem = np.concatenate(
+                        [mem, np.full(pad, self.graph.sentinel, np.int32)]
+                    )
+                self.graph = dataclasses.replace(
+                    self.graph, entry_members=jnp.asarray(mem)
+                )
         return on
 
     def query_k_batch(self, queries: np.ndarray, k: int) -> np.ndarray:
@@ -374,6 +404,7 @@ class AntitopoEngine(Engine):
                     expand=self.cfg.query_expand,
                     cand=self.cfg.fused_cand,
                     qt=qt,
+                    seeds=self.cfg.entry_seeds,
                     precision=self.cfg.precision,
                     interpret=interpret,
                 )

@@ -77,6 +77,9 @@ class GraphIndex:
     packed_code_norms: Optional[jax.Array] = None  # (N + 1,) f32, +inf sentinel
     packed_center: Optional[jax.Array] = None  # (D_pad,) f32
     packed_scale: Optional[jax.Array] = None  # () f32
+    # member ids of the largest upper layer (multi-seed dense entry scan,
+    # models/search.fused_query_batch); lane-padded with the sentinel
+    entry_members: Optional[jax.Array] = None  # (n_l_pad,) int32
 
     @property
     def n(self) -> int:
@@ -103,6 +106,7 @@ class GraphIndex:
             self.packed_code_norms,
             self.packed_center,
             self.packed_scale,
+            self.entry_members,
         )
         return children, None
 

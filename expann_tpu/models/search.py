@@ -464,6 +464,7 @@ def query_batch(
         "expand",
         "cand",
         "qt",
+        "seeds",
         "precision",
         "interpret",
     ),
@@ -477,6 +478,7 @@ def fused_query_batch(
     expand: int = 2,
     cand: int = 16,
     qt: int = 128,
+    seeds: int = 0,  # >0: dense multi-seed entry scan (needs entry_members)
     precision: str = "default",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -501,46 +503,77 @@ def fused_query_batch(
         jnp.maximum(jnp.asarray(ef, jnp.int32), k), EF
     )
 
-    ep = jnp.full((B,), graph.starting_vertex, jnp.int32)
-    ep_d = _gather_dist2(
-        graph.vectors, graph.norms, ep[:, None], q, qn, precision
-    )[:, 0]
-    for layer in reversed(graph.layers):
-        ep, ep_d = greedy_descent(
-            graph.vectors,
-            graph.norms,
-            layer.slot,
-            layer.adj,
-            q,
-            qn,
-            ep,
-            ep_d,
-            precision,
-        )
-
     if graph.packed_codes is not None:
         # s8 packed blocks score in CODE space (build_packed_i8): quantize
         # the query with the stored affine transform and seed the beam
-        # with the entry point's code-space distance so the kernel's
-        # done/worst comparisons stay consistent; the exact f32 rerank
-        # below restores true-distance ranking (the reference's compressed
-        # beam + rerank flow, src/antitopo_engine.h:710-851, 845-848).
+        # with code-space distances so the kernel's done/worst comparisons
+        # stay consistent; the exact f32 rerank below restores
+        # true-distance ranking (the reference's compressed beam + rerank
+        # flow, src/antitopo_engine.h:710-851, 845-848).
         qk = jnp.clip(
             jnp.round((q - graph.packed_center) * graph.packed_scale),
             -127.0,
             127.0,
         )
         qkn = jnp.sum(qk * qk, axis=1)
-        epc = graph.packed_codes[ep].astype(jnp.float32)
-        ep_d0 = (
-            qkn
-            + graph.packed_code_norms[ep]
-            - 2.0 * jnp.sum(qk * epc, axis=1)
-        )
     else:
-        qk, ep_d0 = q, ep_d
-    bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, 0].set(ep_d0)
-    bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, 0].set(ep)
+        qk, qkn = q, qn
+
+    ncomp_extra = jnp.int32(0)
+    if graph.entry_members is not None and seeds > 0:
+        # multi-seed dense entry scan: one MXU matmul over the largest
+        # upper layer's members beats single-path greedy descent on
+        # multi-basin corpora (a wrong-basin entry can trap the beam —
+        # the measured recall plateau on clustered data, BENCH_NOTES).
+        # Dense scans are the cheap operation on TPU; the reference's
+        # closest analogue is its ortho_count multi-entry construction
+        # searches (src/antitopo_engine.h:333-381).
+        mem = graph.entry_members  # (n_l_pad,) sentinel-padded
+        if graph.packed_codes is not None:
+            mv = graph.packed_codes[mem].astype(jnp.float32)
+            mn = graph.packed_code_norms[mem]  # +inf at sentinel pads
+        else:
+            mv = graph.vectors[mem]
+            mn = graph.norms[mem]
+        md = mn[None, :] + qkn[:, None] - 2.0 * jax.lax.dot_general(
+            qk, mv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, n_l_pad)
+        S = min(seeds, EF)
+        neg_d, idx = jax.lax.approx_max_k(-md, S)
+        seed_ids = mem[idx]  # (B, S)
+        seed_d = -neg_d
+        bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, :S].set(seed_d)
+        bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, :S].set(seed_ids)
+        ncomp_extra = jnp.int32(B * mem.shape[0])
+    else:
+        ep = jnp.full((B,), graph.starting_vertex, jnp.int32)
+        ep_d = _gather_dist2(
+            graph.vectors, graph.norms, ep[:, None], q, qn, precision
+        )[:, 0]
+        for layer in reversed(graph.layers):
+            ep, ep_d = greedy_descent(
+                graph.vectors,
+                graph.norms,
+                layer.slot,
+                layer.adj,
+                q,
+                qn,
+                ep,
+                ep_d,
+                precision,
+            )
+        if graph.packed_codes is not None:
+            epc = graph.packed_codes[ep].astype(jnp.float32)
+            ep_d0 = (
+                qkn
+                + graph.packed_code_norms[ep]
+                - 2.0 * jnp.sum(qk * epc, axis=1)
+            )
+        else:
+            ep_d0 = ep_d
+        bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, 0].set(ep_d0)
+        bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, 0].set(ep)
     beam_ids, _, ncomp_rows, _ = fused_search(
         graph.packed,
         graph.packed_aux,
@@ -553,7 +586,7 @@ def fused_query_batch(
         qt=qt,
         interpret=interpret,
     )
-    ncomp = jnp.sum(ncomp_rows)
+    ncomp = jnp.sum(ncomp_rows) + ncomp_extra
     # Exact f32 rerank of the final (unsorted) beam, as the packed and
     # compressed paths do; also pushes sentinel/+inf lanes to the end.
     beam_d = _gather_dist2(

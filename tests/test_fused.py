@@ -134,6 +134,51 @@ def test_fused_search_exact_on_full_beam():
     assert int(np.asarray(ncomp).sum()) > 0
 
 
+def test_multi_seed_entry_scan_on_clustered_data():
+    """On multi-basin (clustered) data, single greedy descent can trap the
+    beam in the wrong cluster; the dense multi-seed entry scan
+    (entry_seeds > 0) must recover recall at equal ef."""
+    from expann_tpu.data.loader import generate_synthetic_clustered
+
+    x, queries = generate_synthetic_clustered(
+        2000, 60, 24, n_clusters=24, sigma=0.25, seed=6
+    )
+    k = 10
+    d2 = ((queries[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, gt)])
+
+    def build(seeds):
+        cfg = AntitopoConfig(
+            M=8,
+            ef_construction=48,
+            ef_search=24,
+            query_expand=1,
+            use_packed=True,
+            use_fused=True,
+            fused_qt=8,
+            fused_cand=8,
+            entry_seeds=seeds,
+            seed=0,
+        )
+        eng = AntitopoEngine(config=cfg)
+        eng.store_many_vectors(x)
+        eng.build()
+        return eng
+
+    base_eng = build(0)
+    base = recall(base_eng.query_k_batch(queries, k))
+    seeded_eng = build(8)
+    seeded = recall(seeded_eng.query_k_batch(queries, k))
+    assert seeded_eng.graph.entry_members is not None
+    assert seeded >= base - 0.01, (seeded, base)
+    assert seeded >= 0.9, (seeded, base)
+    # distcomps must account for the dense entry scan
+    assert seeded_eng.num_distcomps > base_eng.num_distcomps
+
+
 def test_fused_respects_done_flag_early_exit():
     """Tiles whose queries all terminate must stop iterating early."""
     rng = np.random.default_rng(9)

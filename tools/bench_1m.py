@@ -133,6 +133,7 @@ def main():
             M=args.M, ef_construction=args.efc, ef_search=ef,
             query_expand=expand, fused_cand=cand, packed_dtype=pdt,
             query_block=4096,
+            entry_seeds=8,  # dense multi-seed entry scan (multi-basin data)
             precision="default", use_packed=True,
             index_filename=IDX, read_index=True,
         )

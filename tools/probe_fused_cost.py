@@ -25,6 +25,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
     E = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     C = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    QT = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     import jax
     import jax.numpy as jnp
@@ -62,7 +63,8 @@ def main():
             bd0, bi0 = prep(qs)
             ids, _, nc, it = fused_search(
                 g.packed, g.packed_aux, qs, bd0, bi0,
-                ef=ef, expand=expand, cand=cand, max_iters=ITERS, dbg=dbg,
+                ef=ef, expand=expand, cand=cand, max_iters=ITERS, qt=QT,
+                dbg=dbg,
             )
             return ids, it
 
@@ -75,12 +77,14 @@ def main():
             ids, _ = call()
             ids.block_until_ready()
             best = min(best, time.perf_counter() - t0)
-        per_iter = best / (B / 8) / ITERS
-        print(f"{dbg or 'full':>28s} E={expand} C={cand}: {best*1e3:7.1f} ms"
-              f" -> {per_iter*1e6:6.2f} us/tile-iter", flush=True)
+        per_iter = best / (B / QT) / ITERS
+        print(f"{dbg or 'full':>28s} E={expand} C={cand} QT={QT}:"
+              f" {best*1e3:7.1f} ms -> {per_iter*1e6:6.2f} us/tile-iter",
+              flush=True)
         return per_iter
 
-    run("nodone,fori,minimal")
+    for dbg in (os.environ.get("PROBE_DBG") or "nodone,fori,minimal").split(";"):
+        run(dbg.strip())
 
 
 if __name__ == "__main__":
