@@ -92,11 +92,19 @@ def _fused_kernel(
     slane = jax.lax.broadcasted_iota(jnp.int32, (T, RS), 1)
     sent = SENTINEL
 
+    # The while_loop CARRY is the dominant per-iteration cost at tall
+    # tiles (probe_fused_cost.py: 68 of 93.5 us/tile-iter at qt=128).
+    # A bf16 distance carry (+int8 flags) would cut it ~40%, but Mosaic
+    # currently cannot relayout the resulting mixed-bitwidth i1 masks
+    # ("Invalid relayout ... vector<128x128xi1>"), so the carry stays
+    # f32/int32; "bf16carry" in DBG re-enables the experiment.
+    CDT = jnp.bfloat16 if "bf16carry" in DBG else jnp.float32
+
     def body(carry):
         beam_d, beam_ids, beam_exp, done, it, ncomp = carry
 
         if "minimal" in DBG:  # cost probe: carry + one reduction only
-            beam_d = beam_d + jnp.min(beam_d, axis=1, keepdims=True) * 1e-6
+            beam_d = beam_d + jnp.min(beam_d, axis=1, keepdims=True) * CDT(1e-3)
             return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
 
         # --- select the E best unexpanded beam entries per query ---
@@ -110,7 +118,9 @@ def _fused_kernel(
             )
             smask = lane == lsel
             sid = jnp.min(jnp.where(smask, beam_ids, BIG), axis=1, keepdims=True)
-            fin = jnp.isfinite(m)
+            # isfinite lowers through an f32-only Mosaic op; a threshold
+            # compare works in any carry dtype (no NaNs are ever produced)
+            fin = m < CDT(3e38)
             if e == 0 and "nodone" not in DBG:
                 # reference break: best unexpanded worse than the beam's
                 # worst member (full beams only: empty slots hold +inf so
@@ -119,10 +129,10 @@ def _fused_kernel(
             sel_cols.append(jnp.where(fin & (done == 0), sid, sent))
             if "nodone" not in DBG:
                 beam_exp = jnp.where(smask & fin, 1, beam_exp)
-            masked = jnp.where(smask, INF, masked)
+            masked = jnp.where(smask, CDT(INF), masked)
         sel = jnp.concatenate(sel_cols, axis=1)  # (T, E)
         if "selonly" in DBG:  # cost probe: selection ops, no staging store
-            beam_d = beam_d + sel.astype(jnp.float32)[:, :1] * 1e-12
+            beam_d = beam_d + sel[:, :1].astype(CDT) * CDT(1e-6)
             return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
         selbuf[...] = jnp.concatenate(
             [sel, jnp.full((T, 128 - E), sent, jnp.int32)], axis=1
@@ -253,9 +263,14 @@ def _fused_kernel(
                         axis=1,
                         keepdims=True,
                     )
-                    ok = (m < wmax) & (dup == 0) & (done == 0)
+                    # compare and insert in carry precision: a candidate
+                    # admitted on an f32 compare could round UP past the
+                    # evicted max after the bf16 store, breaking the
+                    # monotone-beam argument
+                    mc = m.astype(CDT)
+                    ok = (mc < wmax) & (dup == 0) & (done == 0)
                     repl = (lane == wlsel) & ok
-                    beam_d = jnp.where(repl, m, beam_d)
+                    beam_d = jnp.where(repl, mc, beam_d)
                     beam_ids = jnp.where(repl, cid, beam_ids)
                     beam_exp = jnp.where(repl, 0, beam_exp)
 
@@ -271,7 +286,7 @@ def _fused_kernel(
         cond,
         body,
         (
-            bd0_ref[...],
+            bd0_ref[...].astype(CDT),
             bi0_ref[...],
             jnp.zeros((T, EF), jnp.int32),
             jnp.zeros((T, 1), jnp.int32),
@@ -279,7 +294,7 @@ def _fused_kernel(
             jnp.zeros((T, 1), jnp.int32),
         ),
     )
-    obd_ref[...] = jnp.where(live, beam_d, INF)
+    obd_ref[...] = jnp.where(live, beam_d, CDT(INF)).astype(jnp.float32)
     obi_ref[...] = jnp.where(live, beam_ids, sent)
     stat_lane = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
     # col0: per-row distcomp counts (sum over rows outside); col1: iters
