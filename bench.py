@@ -41,26 +41,63 @@ def _recall(ans, gt_sets, k):
     return hits / (m * k)
 
 
-def _qps(eng, d, k, Q=8192, seed=20260816):
+def _qps(eng, d, k, Q=8192, seed=20260816, reps=5):
     """Throughput on UNIQUE random queries, a fresh batch per repetition.
 
     Tiling the 400 real queries (round 1) risked dispatch dedup/caching on
     this host (CLAUDE.md) and gave a graph traversal unrepresentatively
     identical beams; unique N(0,1) queries match the synthetic dataset's
-    query distribution (data/loader.py:generate_synthetic)."""
+    query distribution (data/loader.py:generate_synthetic).
+
+    Returns ``(median_qps, best_qps)`` over ``reps`` timed runs: the
+    MEDIAN is the reported number (the axon host<->device tunnel has
+    measured load variance, BENCH_NOTES; best-of flatters), the best is
+    recorded alongside for comparability with earlier rounds."""
     rng = np.random.default_rng(seed)
 
     def batch():
         return rng.standard_normal((Q, d)).astype(np.float32)
 
     eng.query_k_batch(batch(), k)  # warmup / compile
-    best = float("inf")
-    for _ in range(3):
+    times = []
+    for _ in range(reps):
         b = batch()
         t0 = time.perf_counter()
         eng.query_k_batch(b, k)
-        best = min(best, time.perf_counter() - t0)
-    return Q / best
+        times.append(time.perf_counter() - t0)
+    return Q / float(np.median(times)), Q / min(times)
+
+
+def _device_qps_flat(flat, k, Q=65536, reps=5):
+    """Device-side flat-scan ceiling: bf16 queries generated ON DEVICE
+    (fresh PRNG key per rep — identical dispatches dedup on this host),
+    one flat_topk dispatch per timed rep.  Excludes the host<->device
+    query transfer; includes the per-dispatch RPC."""
+    import jax
+    import jax.numpy as jnp
+
+    from expann_tpu.ops.pallas_topk import flat_topk
+
+    D = flat._x_fused.shape[1]
+
+    @jax.jit
+    def gen(key):
+        return jax.random.normal(key, (Q, D), jnp.bfloat16)
+
+    def run(key):
+        ids, _ = flat_topk(
+            gen(key), flat._x_fused, n_real=flat._n_fused, k=k
+        )
+        return ids
+
+    run(jax.random.PRNGKey(0)).block_until_ready()  # warmup/compile
+    times = []
+    for r in range(reps):
+        q_key = jax.random.PRNGKey(r + 1)
+        t0 = time.perf_counter()
+        run(q_key).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return Q / float(np.median(times))
 
 
 def main() -> None:
@@ -84,9 +121,13 @@ def main() -> None:
     flat_recall = _recall(flat.query_k_batch(ds.queries, k), gt_sets, k)
     # per-call overhead dominates the fused kernel; throughput is measured
     # at a production-sized batch
-    flat_qps = _qps(flat, d, k, Q=16384 if quick else 65536)
+    flat_qps, flat_best = _qps(flat, d, k, Q=16384 if quick else 65536)
     # a flat scan scores the whole corpus once per query
-    points.append(("tpu_flat", flat_recall, flat_qps, n))
+    points.append(("tpu_flat", flat_recall, flat_qps, n, flat_best))
+    # device-side ceiling: queries already resident, fresh per dispatch —
+    # excludes the axon host<->device tunnel whose load variance dominates
+    # e2e jitter (BENCH_NOTES "tunnel-load variance")
+    flat_dev_qps = _device_qps_flat(flat, k, Q=16384 if quick else 65536)
 
     # --- Anti-Topo graph engine ---
     # prune_overflow=1 and full-width prune candidates sit inside the
@@ -123,21 +164,25 @@ def main() -> None:
         distcomps = (
             graph.num_distcomps + graph.num_distcomps_compressed
         ) / m  # per query, from the recall run (RECORD_STATS parity)
-        qps = _qps(graph, d, k, Q=8192)
-        points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps))
+        qps, qbest = _qps(graph, d, k, Q=8192)
+        points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps, qbest))
 
-    # s8 packed blocks: half the DMA bytes of the bandwidth-bound fused
-    # traversal (same graph, repacked layout; exact f32 rerank)
+    # quantized serving (the reference's use_compression=true grid half):
+    # centered-s8 packed blocks scored in code space in-kernel + exact f32
+    # rerank — half the DMA bytes of the bandwidth-bound fused traversal
     if not quick:
-        graph.set_packed_dtype("i8")
+        graph.cfg.use_compression = True
+        graph._attach_codes()
         for mult in [10, 12]:
             graph.set_ef_search(k * mult)
             rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
             distcomps = (
                 graph.num_distcomps + graph.num_distcomps_compressed
             ) / m
-            qps = _qps(graph, d, k, Q=8192)
-            points.append((f"antitopo_i8_ef{k * mult}", rec, qps, distcomps))
+            qps, qbest = _qps(graph, d, k, Q=8192)
+            points.append(
+                (f"antitopo_compressed_ef{k * mult}", rec, qps, distcomps, qbest)
+            )
 
     qualifying = [p for p in points if p[1] >= RECALL_TARGET]
     best = max(qualifying, key=lambda p: p[2]) if qualifying else max(
@@ -152,14 +197,17 @@ def main() -> None:
         "best_engine": best[0],
         "recall": round(best[1], 4),
         "time_per_query_ns": round(1e9 / best[2], 0),
+        "qps_stat": "median of 5 (fresh unique batches); qps_best alongside",
+        "flat_device_qps": round(flat_dev_qps, 1),
         "pareto": [
             {
                 "engine": nm,
                 "recall": round(r, 4),
                 "qps": round(q, 1),
+                "qps_best": round(qb, 1),
                 "distcomps_per_query": round(dc, 1),
             }
-            for nm, r, q, dc in points
+            for nm, r, q, dc, qb in points
         ],
         "flat_build_s": round(flat_build_s, 1),
         "graph_build_s": round(graph_build_s, 1),

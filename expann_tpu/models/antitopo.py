@@ -283,12 +283,24 @@ class AntitopoEngine(Engine):
         import jax as _jax
 
         c = self.cfg
-        if c.use_compression:
-            return False
         if c.use_packed == "auto":
             on = _jax.default_backend() in ("tpu", "axon")
         else:
             on = bool(c.use_packed)
+        if c.use_compression:
+            if not on:
+                # XLA uint8-gather compressed beam (CPU / parity path)
+                return False
+            # Quantized serving on the FAST path: the centered-s8 packed
+            # layout is the quantized serving mode — packed codes scored
+            # in code space in-kernel + exact f32 rerank, the same
+            # packed-uint8-beam + rerank structure as the reference's
+            # use_compression path (src/antitopo_engine.h:710-851,
+            # :845-848) mapped to the TPU block-DMA layout.  Half the DMA
+            # bytes of bf16 — compression is a *performance* feature here
+            # too, not just a memory one.
+            if c.packed_dtype != "i8":
+                self.set_packed_dtype("i8")
         if on and self.graph.packed is None:
             if c.packed_dtype == "i8":
                 from expann_tpu.ops.pallas_beam import build_packed_i8
@@ -330,13 +342,16 @@ class AntitopoEngine(Engine):
                 slot = np.asarray(pick.slot)
                 n_l = pick.adj.shape[0] - 1
                 mem = np.nonzero(slot[:-1] != n_l)[0].astype(np.int32)
+                n_real = int(mem.size)
                 pad = (-mem.size) % 128
                 if pad:
                     mem = np.concatenate(
                         [mem, np.full(pad, self.graph.sentinel, np.int32)]
                     )
                 self.graph = dataclasses.replace(
-                    self.graph, entry_members=jnp.asarray(mem)
+                    self.graph,
+                    entry_members=jnp.asarray(mem),
+                    entry_members_n=jnp.int32(n_real),
                 )
         return on
 
@@ -371,13 +386,6 @@ class AntitopoEngine(Engine):
             while bucket < real:
                 bucket *= 2
             bucket = min(bucket, bs)
-            if real < bucket:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((bucket - real, q.shape[1]), np.float32)]
-                )
-            compressed = bool(
-                self.cfg.use_compression and self.graph.codes is not None
-            )
             # in "auto" mode small buckets take the per-iteration packed
             # path: they are latency-bound (the fused kernel's win is
             # throughput batches) and each distinct tile height qt costs
@@ -385,7 +393,25 @@ class AntitopoEngine(Engine):
             fused_this = use_fused and (
                 bucket >= self.cfg.fused_qt or self.cfg.use_fused is True
             )
-            if fused_this and not compressed:
+            # quantized serving runs the fused i8 packed path when packed
+            # codes exist (i8 forced by _resolve_packed on TPU); off the
+            # packed path it runs the XLA uint8-gather compressed beam
+            compressed = bool(
+                self.cfg.use_compression and self.graph.codes is not None
+            )
+            if fused_this:
+                qt = min(self.cfg.fused_qt, bucket)
+                # the kernel requires bucket % qt == 0; a user-set
+                # query_block that isn't a power of two (e.g. 3000) caps
+                # bucket at a non-multiple — pad up to the next multiple
+                bucket += (-bucket) % qt
+            if real < bucket:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bucket - real, q.shape[1]), np.float32)]
+                )
+            if fused_this and (
+                not compressed or self.graph.packed_codes is not None
+            ):
                 # ef is a runtime scalar here: sweeping ef_search reuses
                 # one compile (models/search.fused_query_batch).  Queries
                 # ship as bf16 — the kernel scores bf16/s8 blocks anyway
@@ -394,7 +420,6 @@ class AntitopoEngine(Engine):
                 # f32 on device for descent/rerank.
                 import ml_dtypes
 
-                qt = min(self.cfg.fused_qt, bucket)
                 ids, _, ncomp = fused_query_batch(
                     self.graph,
                     jnp.asarray(chunk.astype(ml_dtypes.bfloat16)),
@@ -432,10 +457,18 @@ class AntitopoEngine(Engine):
         res = []
         for ids, ncomp, real in out:
             res.append(np.asarray(ids)[:real])
+            # per-query counts: padded batch rows are excluded, mirroring
+            # how they are excluded from results (RECORD_STATS exactness)
+            nc = int(np.asarray(ncomp)[:real].sum())
             if self.cfg.use_compression:
-                self.num_distcomps_compressed += int(ncomp)
+                # traversal scores quantized codes; the final beam is
+                # reranked in exact f32 (ef full-precision comps/query),
+                # split across the two reference counters
+                # (src/antitopo_engine.h:125-128, :845-848)
+                self.num_distcomps_compressed += nc
+                self.num_distcomps += real * ef
             else:
-                self.num_distcomps += int(ncomp)
+                self.num_distcomps += nc
         self.total_query_time_ns += _time.perf_counter_ns() - t_begin
         return np.concatenate(res, axis=0)
 

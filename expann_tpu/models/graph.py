@@ -80,6 +80,9 @@ class GraphIndex:
     # member ids of the largest upper layer (multi-seed dense entry scan,
     # models/search.fused_query_batch); lane-padded with the sentinel
     entry_members: Optional[jax.Array] = None  # (n_l_pad,) int32
+    # real (unpadded) member count — exact distcomp accounting for the
+    # dense entry scan (the padded sentinel lanes score no real vectors)
+    entry_members_n: Optional[jax.Array] = None  # () int32
 
     @property
     def n(self) -> int:
@@ -107,6 +110,7 @@ class GraphIndex:
             self.packed_center,
             self.packed_scale,
             self.entry_members,
+            self.entry_members_n,
         )
         return children, None
 

@@ -159,6 +159,9 @@ def beam_search(
 
     Returns ``(beam_ids, beam_d, num_distcomps)`` with beams sorted by
     ascending distance; padding entries carry id ``sentinel`` and d ``+inf``.
+    ``num_distcomps`` is PER-QUERY ``(B,)`` so callers can exclude padded
+    batch rows from the RECORD_STATS totals (reference counters:
+    src/antitopo_engine.h:125-128).
     """
     B, E0 = ep_ids.shape
     R = packed.shape[1] if packed is not None else adj.shape[1]
@@ -206,7 +209,7 @@ def beam_search(
     # Derive loop-carry initializers from the (possibly shard-varying) beam
     # data rather than fresh constants, so the while_loop carries have
     # consistent varying-manual-axes when running inside shard_map.
-    ncomp0 = jnp.int32(B * E0) + beam_ids[0, 0] * 0
+    ncomp0 = jnp.int32(E0) + beam_ids[:, 0] * 0  # (B,) per-query counts
     done0 = jnp.isnan(beam_d[:, 0])  # all False, but data-dependent
     it0 = jnp.int32(0) + beam_ids[0, 0] * 0
 
@@ -253,12 +256,14 @@ def beam_search(
             # distcomp semantics for the packed engine: the MXU really
             # scores all R packed slots per expanded node (incl. adjacency
             # padding), regardless of how many survive top-t extraction.
-            ncomp = ncomp + R * jnp.sum((sel != sentinel).astype(ncomp.dtype))
+            ncomp = ncomp + R * jnp.sum(
+                (sel != sentinel).astype(ncomp.dtype), axis=-1
+            )
         else:
             nbrs = adj[sel].reshape(B, E * R)  # sentinel rows: all-sentinel
             nd = score(nbrs)
-            ncomp = ncomp + jnp.sum(
-                jnp.sum(nbrs != sentinel, axis=-1).astype(ncomp.dtype)
+            ncomp = ncomp + jnp.sum(nbrs != sentinel, axis=-1).astype(
+                ncomp.dtype
             )
         K = nbrs.shape[1]  # E*R, or E*topt in packed top-t mode
         dup = (nbrs[:, :, None] == beam_ids[:, None, :]).any(-1)
@@ -332,7 +337,8 @@ def query_batch(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full batched query: descend upper layers greedily from the starting
     vertex, beam-search the bottom layer, return ``(ids, dists, distcomps)``
-    with ``ids`` shaped ``(B, k)``.
+    with ``ids`` shaped ``(B, k)`` and ``distcomps`` per-query ``(B,)``
+    (padded batch rows can then be excluded from the engine counters).
 
     Mirrors the reference ``_query_k`` flow (src/antitopo_engine.h:853-928):
     plain-L2 descent (the query path never uses the ortho penalty since
@@ -521,6 +527,13 @@ def fused_query_batch(
 
     ncomp_extra = jnp.int32(0)
     if graph.entry_members is not None and seeds > 0:
+        # distcomp charge: the REAL member count (entry_members is
+        # lane-padded with sentinels whose +inf norms score nothing real);
+        # falls back to the padded width if the builder didn't record it
+        if graph.entry_members_n is not None:
+            ncomp_extra = graph.entry_members_n.astype(jnp.int32)
+        else:
+            ncomp_extra = jnp.int32(graph.entry_members.shape[0])
         # multi-seed dense entry scan: one MXU matmul over the largest
         # upper layer's members beats single-path greedy descent on
         # multi-basin corpora (a wrong-basin entry can trap the beam —
@@ -545,7 +558,6 @@ def fused_query_batch(
         seed_d = -neg_d
         bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, :S].set(seed_d)
         bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, :S].set(seed_ids)
-        ncomp_extra = jnp.int32(B * mem.shape[0])
     else:
         ep = jnp.full((B,), graph.starting_vertex, jnp.int32)
         ep_d = _gather_dist2(
@@ -586,7 +598,7 @@ def fused_query_batch(
         qt=qt,
         interpret=interpret,
     )
-    ncomp = jnp.sum(ncomp_rows) + ncomp_extra
+    ncomp = ncomp_rows + ncomp_extra  # (B,) per-query
     # Exact f32 rerank of the final (unsorted) beam, as the packed and
     # compressed paths do; also pushes sentinel/+inf lanes to the end.
     beam_d = _gather_dist2(

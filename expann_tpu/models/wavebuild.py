@@ -87,9 +87,18 @@ def _reverse_append(adj, counts, wave_ids, sel_ids, sel_d, sentinel: int):
     group_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(first, idx, 0)
     )
-    pos = idx - group_start
+    # edge_exists dedup (reference src/antitopo_engine.h:442-450): drop a
+    # reverse edge whose src is already present in dst's row (the wave
+    # node's forward write above, or a mutual pair), then re-rank the
+    # surviving edges within each destination group so writes stay
+    # contiguous and counts stay exact
+    exists = (adj[jnp.minimum(dst_s, sentinel)] == src_s[:, None]).any(-1)
+    keep = (dst_s != sentinel) & ~exists
+    kint = keep.astype(jnp.int32)
+    ecs = jnp.cumsum(kint) - kint  # exclusive prefix count of kept edges
+    pos = ecs - ecs[group_start]
     write_pos = counts[dst_s] + pos
-    ok = (dst_s != sentinel) & (write_pos < R)
+    ok = keep & (write_pos < R)
     oob = adj.shape[0]
     rows = jnp.where(ok, dst_s, oob)
     adj = adj.at[rows, jnp.minimum(write_pos, R - 1)].set(src_s, mode="drop")

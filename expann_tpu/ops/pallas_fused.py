@@ -335,7 +335,10 @@ def fused_search(
     ``ef`` and ``max_iters`` are runtime scalars (SMEM operands): one
     compiled kernel serves every ef <= EF, so sweeping ef_search — the
     reference's free set_ef_search knob (src/antitopo_engine.h:189-195) —
-    does not touch the (minutes-slow on this host) compile server.
+    does not touch the (minutes-slow on this host) compile server
+    *within one EF bucket*: EF is the static beam width (a multiple of
+    128), so an ef sweep crossing a 128 boundary (e.g. 120 -> 160)
+    compiles the wider-beam kernel once per bucket.
     """
     _, RS, D = packed.shape
     _, two, R = aux.shape

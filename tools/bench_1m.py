@@ -120,10 +120,11 @@ def main():
     # compile since ef is a runtime scalar, ef=160 compiles the 256-wide
     # beam variant once) ----
     rng = np.random.default_rng(99)
-    # bf16 packed blocks need n*roundup(M0,16)*128*2 bytes of HBM; above
+    # bf16 packed blocks need n*roundup(M0,16)*D_pad*2 bytes of HBM; above
     # ~10GB only the s8 layout fits alongside the corpus on a 16GB chip
     rs16 = 2 * args.M + ((-2 * args.M) % 16)
-    bf16_fits = n * rs16 * 128 * 2 < 10e9
+    d_pad = d + ((-d) % 128)
+    bf16_fits = n * rs16 * d_pad * 2 < 10e9
     pts = [(2, 40, 16), (2, 80, 16), (2, 120, 16), (2, 200, 32), (2, 256, 32)]
     plist = [(e_, ef_, c_, "i8") for e_, ef_, c_ in pts]
     if bf16_fits:
