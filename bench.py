@@ -135,7 +135,11 @@ def main() -> None:
     # best recall curve on this dataset (see tools/ sweeps).  Queries run
     # the fully fused in-kernel traversal (use_fused='auto' -> on, TPU;
     # ops/pallas_fused.py) at the round-2 sweep's best operating point:
-    # expand=2, cand=16, qt=128 (tools/perf_fused.py).
+    # expand=2, cand=16, qt=128 (tools/perf_fused.py).  query_block=8192
+    # with a production-sized Q: the per-dispatch wall overhead on this
+    # host (~100-200ms, batch-size independent — tools/perf_e2e_graph.py)
+    # dominates small batches; amortization is the decisive QPS lever
+    # (42k -> 75k QPS at ef=100 going from Q=8k/qb=4k to Q=64k/qb=8k).
     cfg = AntitopoConfig(
         M=60,
         ef_construction=500,
@@ -146,7 +150,7 @@ def main() -> None:
         packed_topt=8,
         fused_cand=16,
         fused_qt=128,
-        query_block=4096,
+        query_block=8192,
         # dense multi-seed entry scan: same recall, ~1.7x QPS (better
         # entries -> far fewer traversal iterations; the upper-layer
         # member matmul is nearly free on the MXU)
@@ -164,7 +168,7 @@ def main() -> None:
         distcomps = (
             graph.num_distcomps + graph.num_distcomps_compressed
         ) / m  # per query, from the recall run (RECORD_STATS parity)
-        qps, qbest = _qps(graph, d, k, Q=8192)
+        qps, qbest = _qps(graph, d, k, Q=8192 if quick else 65536)
         points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps, qbest))
 
     # quantized serving (the reference's use_compression=true grid half):
@@ -179,7 +183,7 @@ def main() -> None:
             distcomps = (
                 graph.num_distcomps + graph.num_distcomps_compressed
             ) / m
-            qps, qbest = _qps(graph, d, k, Q=8192)
+            qps, qbest = _qps(graph, d, k, Q=65536)
             points.append(
                 (f"antitopo_compressed_ef{k * mult}", rec, qps, distcomps, qbest)
             )

@@ -14,7 +14,9 @@ a layout change plus a kernel:
     streaming-rate fetches).
   * ``aux``: ``(N+1, 2, R)`` f32 — row 0 the neighbours' squared norms
     (+inf at sentinel slots, so padding masks itself), row 1 the
-    neighbour ids stored as exact f32 values (requires N < 2^24).
+    neighbour ids as BIASED int32 bit patterns in the f32 lanes (see
+    ``encode_ids_f32`` — exact for ids < 2^29; the round-2 N < 2^24
+    value-cast ceiling is gone).
   * kernel: grid over 8-query tiles (TPU sublane granularity); each step
     issues ``2*8*E`` async copies (the tile's expanded nodes' vector
     blocks + aux rows) with an NBUF-deep lookahead pipeline, then runs
@@ -35,6 +37,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QT = 8  # queries per grid step (sublane granularity)
+
+# Ids ride the f32 aux tile as BIASED BIT PATTERNS: raw int32 bits of ids
+# < 2^23 are f32 DENORMALS, which TPU float datapaths flush to zero (the
+# XLA pack/copy side does — measured; Mosaic in-kernel bitcast does not).
+# OR-ing bit 30 moves every id into the normal range [2.0, 4.0)·2^k — no
+# denormals, no NaNs for ids < 2^29 — so the pattern survives any copy,
+# fusion, or transfer.  Exact for any id < 2^29 (536M rows; HBM runs out
+# long before).  Encode: bitcast(id | BIAS); decode: bitcast & ~BIAS.
+ID_BIAS = 1 << 30
+ID_CEIL = 1 << 29
+
+
+def encode_ids_f32(ids):
+    """int32 ids -> f32 carrier values (exact for ids < 2^29)."""
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_or(ids.astype(jnp.int32), jnp.int32(ID_BIAS)), jnp.float32
+    )
+
+
+def decode_ids_f32(bits_f32):
+    """f32 carrier values -> int32 ids (inverse of encode_ids_f32)."""
+    return jnp.bitwise_and(
+        jax.lax.bitcast_convert_type(bits_f32, jnp.int32),
+        jnp.int32(ID_BIAS - 1),
+    )
 
 
 def _beam_score_kernel(
@@ -120,7 +147,8 @@ def _beam_score_kernel(
             d_rows.append(abuf[slot, qi, e, 0:1, :] - 2.0 * dot)
             i_rows.append(abuf[slot, qi, e, 1:2, :])
     d_all = jnp.concatenate(d_rows, axis=0)  # (QT*E, R)
-    i_all = jnp.concatenate(i_rows, axis=0).astype(jnp.int32)
+    # aux row 1 carries ids as biased int32 bit patterns in f32 lanes
+    i_all = decode_ids_f32(jnp.concatenate(i_rows, axis=0))
     if TOPT == 0:
         out_d_ref[...] = d_all
         out_i_ref[...] = i_all
@@ -231,11 +259,12 @@ def build_packed(
     multiple of 128 (sentinel slots: +inf norms, sentinel ids) while the
     vector blocks store only ``Rs = roundup(R, 16)`` rows — at low graph
     degree this keeps packed memory ~R/128 of the full-tile cost (e.g. an
-    R=32 graph at N=1M: 8.2GB instead of 32GB).  Ids are stored as exact
-    f32 values (N < 2^24 enforced)."""
+    R=32 graph at N=1M: 8.2GB instead of 32GB).  Ids are stored as biased
+    bit patterns in the f32 aux lanes (``encode_ids_f32`` — exact for ids
+    < 2^29; no N < 2^24 value-cast ceiling)."""
     np1 = vectors.shape[0]
     sentinel = np1 - 1
-    assert sentinel < (1 << 24), "f32-encoded ids require N < 2^24"
+    assert sentinel < ID_CEIL, "id encoding supports N < 2^29"
     r = adj.shape[1]
     rs = r + ((-r) % 16)  # bf16 sublane alignment for the DMA blocks
     r_tile = rs + ((-rs) % 128)
@@ -257,7 +286,10 @@ def _pack_write(packed, aux, vectors, norms, a, s, rs: int):
     R=32, bf16 on a 16GB chip)."""
     block = vectors[a[:, :rs]].astype(packed.dtype)
     packed = jax.lax.dynamic_update_slice(packed, block, (s, 0, 0))
-    arow = jnp.stack([norms[a], a.astype(jnp.float32)], axis=1)
+    # ids ride in the f32 aux tile as BIASED int32 bit patterns (see
+    # encode_ids_f32): exact for any id < 2^29, so the round-2 N < 2^24
+    # ceiling is gone — the DMA copies bytes, kernels decode
+    arow = jnp.stack([norms[a], encode_ids_f32(a)], axis=1)
     aux = jax.lax.dynamic_update_slice(aux, arow, (s, 0, 0))
     return packed, aux
 
@@ -301,7 +333,7 @@ def build_packed_i8(
     """
     np1 = vectors.shape[0]
     sentinel = np1 - 1
-    assert sentinel < (1 << 24), "f32-encoded ids require N < 2^24"
+    assert sentinel < ID_CEIL, "id encoding supports N < 2^29"
     vf = jnp.asarray(vectors, jnp.float32)
     center = jnp.mean(vf[:sentinel], axis=0)
     absmax = jnp.maximum(jnp.max(jnp.abs(vf[:sentinel] - center)), 1e-30)

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from expann_tpu.ops.pallas_beam import decode_ids_f32
+
 QT = 8  # default queries per grid step (sublane granularity)
 BIG = 2**31 - 1  # python ints/floats only: jnp values would be captured consts
 INF = float("inf")
@@ -92,17 +94,23 @@ def _fused_kernel(
     slane = jax.lax.broadcasted_iota(jnp.int32, (T, RS), 1)
     sent = SENTINEL
 
-    # The while_loop CARRY is the dominant per-iteration cost at tall
-    # tiles (probe_fused_cost.py: 68 of 93.5 us/tile-iter at qt=128).
-    # A bf16 distance carry (+int8 flags) would cut it ~40%, but Mosaic
-    # currently cannot relayout the resulting mixed-bitwidth i1 masks
-    # ("Invalid relayout ... vector<128x128xi1>"), so the carry stays
-    # f32/int32; "bf16carry" in DBG re-enables the experiment.
+    # Round-2 attributed 68 of 93.5 us/tile-iter to the while_loop carry;
+    # round-3 re-measurement with a "noop" body showed most of that was
+    # the ~100-200ms per-DISPATCH wall overhead on this axon host
+    # amortized over the iteration count — a VMEM-scratch state rewrite
+    # (refs discharge back into the carry plus explicit load/stores) was
+    # measurably SLOWER e2e (32.5k vs 40.7k QPS at identical work), so
+    # the carry design stands and the amortization lever is batch size
+    # (tools/perf_e2e_graph.py).  A bf16 distance carry remains blocked
+    # on Mosaic mixed-bitwidth i1 relayouts ("Invalid relayout ...
+    # vector<128x128xi1>"); "bf16carry" in DBG re-enables the experiment.
     CDT = jnp.bfloat16 if "bf16carry" in DBG else jnp.float32
 
     def body(carry):
         beam_d, beam_ids, beam_exp, done, it, ncomp = carry
 
+        if "noop" in DBG:  # cost probe: loop skeleton + carry only
+            return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
         if "minimal" in DBG:  # cost probe: carry + one reduction only
             beam_d = beam_d + jnp.min(beam_d, axis=1, keepdims=True) * CDT(1e-3)
             return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
@@ -232,7 +240,8 @@ def _fused_kernel(
             segs = []
             for e in range(E):
                 nrm_e = abuf[:, e, 0, :RS]  # +inf at sentinel/pad slots
-                ids_e = abuf[:, e, 1, :RS].astype(jnp.int32)
+                # aux row 1: ids as biased bit patterns (pallas_beam)
+                ids_e = decode_ids_f32(abuf[:, e, 1, :RS])
                 segs.append((nrm_e + qn - 2.0 * dots[e], ids_e))
 
         if "skip_merge" not in DBG:

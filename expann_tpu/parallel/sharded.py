@@ -477,6 +477,84 @@ def sharded_build_step(
     return sel_ids, sel_d
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "ef_cap", "expand", "cand", "qt", "seeds", "mesh",
+        "precision", "interpret",
+    ),
+)
+def _replicated_fused_dp(
+    graph, q, ef,
+    k: int, ef_cap: int, expand: int, cand: int, qt: int, seeds: int,
+    mesh: Mesh, precision: str, interpret: bool,
+):
+    from expann_tpu.models.search import fused_query_batch
+
+    def per_chip(graph, q_slice, ef):
+        ids, d, nc = fused_query_batch(
+            graph, q_slice[0], ef,
+            k=k, ef_cap=ef_cap, expand=expand, cand=cand, qt=qt,
+            seeds=seeds, precision=precision, interpret=interpret,
+        )
+        return ids[None], d[None], nc[None]
+
+    return jax.shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas outputs carry no vma metadata
+    )(graph, q, ef)
+
+
+def replicated_fused_query_dp(
+    graph: GraphIndex,
+    queries: np.ndarray,
+    k: int,
+    ef,
+    mesh: Optional[Mesh] = None,
+    expand: int = 2,
+    cand: int = 16,
+    qt: int = 8,
+    seeds: int = 0,
+    ef_cap: int = 128,
+    precision: str = "default",
+) -> np.ndarray:
+    """Max-throughput multi-chip serving: the packed index is REPLICATED
+    on every chip, the query batch is sharded over the mesh, and each chip
+    runs the fully fused in-kernel traversal (ops/pallas_fused.py) on its
+    slice — QPS multiplies by mesh size with zero cross-chip traffic
+    during the search (one gather-free shard_map; results concatenate on
+    the batch axis).  This is the fused upgrade of ``replicated_query_dp``
+    (which routes through the slow XLA row-gather beam and is kept for
+    precision-mode parity).  ``graph`` must carry packed arrays
+    (AntitopoEngine._resolve_packed or ops.pallas_beam.build_packed).
+    ``ef`` is a runtime scalar, as in single-chip fused serving."""
+    assert graph.packed is not None, "graph has no packed arrays"
+    mesh = mesh or make_mesh()
+    S = mesh.devices.size
+    q = np.asarray(queries, np.float32)
+    q = pad_dim(q, graph.vectors.shape[1])
+    B0 = q.shape[0]
+    unit = S * qt  # each chip's slice must tile by qt
+    pad = (-B0) % unit
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+    # reshape to (S, B/S, D): shard_map splits the leading axis per chip
+    qs = q.reshape(S, -1, q.shape[1])
+    q_sharded = jax.device_put(qs, NamedSharding(mesh, P(AXIS)))
+    graph_rep = jax.device_put(graph, NamedSharding(mesh, P()))
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    ids, _, _ = _replicated_fused_dp(
+        graph_rep, q_sharded, jnp.asarray(ef, jnp.int32),
+        k=k, ef_cap=ef_cap, expand=expand, cand=cand, qt=qt, seeds=seeds,
+        mesh=mesh, precision=precision, interpret=interpret,
+    )
+    ids = np.asarray(ids).reshape(-1, k)
+    return ids[:B0]
+
+
 def replicated_query_dp(
     graph: GraphIndex,
     queries: np.ndarray,
@@ -486,7 +564,11 @@ def replicated_query_dp(
     precision: str = "highest",
 ) -> np.ndarray:
     """Data-parallel serving: replicated index, batch sharded over the mesh
-    (max-QPS mode).  Plain jit with shardings — XLA partitions the batch."""
+    (max-QPS mode).  Plain jit with shardings — XLA partitions the batch.
+
+    SUPERSEDED for throughput by ``replicated_fused_query_dp`` (the fused
+    in-kernel traversal per chip); kept as the full-precision XLA-beam
+    variant."""
     from expann_tpu.models.search import query_batch
 
     mesh = mesh or make_mesh()

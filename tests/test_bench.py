@@ -112,3 +112,20 @@ def test_clustered_synthetic_generator():
     nn = np.sqrt(np.sort(d, axis=1)[:, :5].mean())
     mean = np.sqrt(d.mean())
     assert nn < 0.5 * mean, (nn, mean)
+
+    # hardened (round-3) properties: queries are NOT near-duplicates of
+    # corpus points (SIFT queries are held-out, not perturbations) ...
+    q_nn = np.sqrt(np.sort(d, axis=1)[:, 0])
+    x_sub = x[:500]
+    dxx = ((x_sub[:, None] - x[None]) ** 2).sum(-1)
+    np.fill_diagonal(dxx[:, :500], np.inf)
+    x_nn = np.sqrt(np.sort(dxx, axis=1)[:, 0])
+    assert np.median(q_nn) > np.median(x_nn), (
+        np.median(q_nn), np.median(x_nn)
+    )
+    # ... and cluster masses are skewed (unequal), unlike round 2's
+    # equal-mass generator (available via uniform=True)
+    xu, _ = generate_synthetic_clustered(
+        4000, 50, 32, n_clusters=40, sigma=0.3, seed=3, uniform=True
+    )
+    assert not np.allclose(x[:100], xu[:100])

@@ -127,3 +127,54 @@ def test_query_packed_matches_plain(expand):
     # bf16 packed scoring + exact f32 rerank should track the plain path
     assert r_packed >= r_plain - 0.02, (r_packed, r_plain)
     assert r_packed > 0.9
+
+
+def test_aux_ids_survive_beyond_2pow24():
+    """Ids ride the f32 aux tile as BIASED int32 bit patterns
+    (encode_ids_f32: normal-range floats — raw bits of small ids would be
+    denormals, which TPU float datapaths flush to zero), so ids >= 2^24 —
+    where f32 value-encoding loses integers — round-trip exactly through
+    the packed serving path.  Lifts the round-2 ceiling on the flagship
+    path (COMPONENTS.md divergence #3: the graph engine is the scalable
+    path, so it must address > 16.7M rows; the encoding is exact to
+    2^29)."""
+    from expann_tpu.ops.pallas_beam import decode_ids_f32, encode_ids_f32
+
+    rng = np.random.default_rng(4)
+    n, d, r = 64, 128, 16
+    x, vecs, norms, adj = _toy_graph(rng, n, d, r)
+    packed, aux = build_packed(vecs, norms, adj, dtype=jnp.float32)
+
+    # encode/decode round-trip across the full range incl. > 2^24
+    probe = jnp.asarray(
+        np.array([0, 1, 2**23 - 1, 2**24, 2**24 + 1, 2**29 - 1], np.int32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(decode_ids_f32(encode_ids_f32(probe))), np.asarray(probe)
+    )
+    # and the encoded carriers are NORMAL floats (no flush hazard)
+    carriers = np.abs(np.asarray(encode_ids_f32(probe)))
+    assert (carriers >= np.finfo(np.float32).tiny).all()
+
+    # overwrite the id lane with ids far above 2^24 (value-cast f32 would
+    # corrupt these: e.g. 2**24 + 1 == float32(2**24))
+    big = (2**24 + 1 + np.arange(aux.shape[0] * aux.shape[2])).reshape(
+        aux.shape[0], aux.shape[2]
+    ).astype(np.int32)
+    aux_big = np.array(aux)  # writable copy
+    aux_big[:, 1, :] = np.asarray(encode_ids_f32(jnp.asarray(big)))
+    aux_big = jnp.asarray(aux_big)
+
+    B, E = 8, 2
+    sel = jnp.asarray(rng.integers(0, n, (B, E)).astype(np.int32))
+    q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    _, ids = packed_score(packed, aux_big, sel, q, interpret=True)
+    ids = np.asarray(ids).reshape(B, E, -1)
+    sel_np = np.asarray(sel)
+    for b in range(B):
+        for e in range(E):
+            want = big[sel_np[b, e], : ids.shape[2]]
+            got = ids[b, e]
+            assert (got == want).all(), (b, e, got[:4], want[:4])
+    # sanity: a value-cast would NOT have survived
+    assert (np.float32(2**24 + 1) == np.float32(2**24)).all()

@@ -167,3 +167,29 @@ def test_sharded_flat_query_exact():
     rec = _recall(ans, gt)
     assert rec >= 0.95, f"sharded flat recall {rec}"
     assert (ans[ans >= 0] < 2100).all()
+
+
+def test_replicated_fused_query_dp():
+    """Max-throughput DP mode: replicated packed index, batch sharded over
+    the mesh, each chip running the fully fused Pallas traversal (interpret
+    mode on the CPU mesh).  Must match single-chip fused recall."""
+    import dataclasses
+
+    from expann_tpu.models.build import build_index
+    from expann_tpu.ops.pallas_beam import build_packed
+    from expann_tpu.parallel.sharded import replicated_fused_query_dp
+
+    x, q = _data(1500, 48, 32, seed=9)
+    k = 10
+    gt = _gt(x, q, k)
+    mesh = make_mesh(8)
+    graph = build_index(x, BuildConfig(M=8, ef_construction=60, prune_cand=60))
+    packed, aux = build_packed(graph.vectors, graph.norms, graph.adj_bottom)
+    graph = dataclasses.replace(graph, packed=packed, packed_aux=aux)
+
+    ans = replicated_fused_query_dp(
+        graph, q, k=k, ef=40, mesh=mesh, qt=8, expand=2, cand=16
+    )
+    assert ans.shape == (48, k)
+    rec = _recall(ans, gt)
+    assert rec >= 0.9, f"replicated fused DP recall {rec}"

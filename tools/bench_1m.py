@@ -133,7 +133,7 @@ def main():
         acfg = AntitopoConfig(
             M=args.M, ef_construction=args.efc, ef_search=ef,
             query_expand=expand, fused_cand=cand, packed_dtype=pdt,
-            query_block=4096,
+            query_block=8192,  # dispatch-overhead amortization
             entry_seeds=8,  # dense multi-seed entry scan (multi-basin data)
             precision="default", use_packed=True,
             index_filename=IDX, read_index=True,
@@ -142,7 +142,8 @@ def main():
         eng.build()
         rec = recall(eng.query_k_batch(queries, k))
         dc = (eng.num_distcomps + eng.num_distcomps_compressed) / m
-        B = 8192
+        B = 32768  # per-dispatch wall overhead amortizes with batch size
+        # (tools/perf_e2e_graph.py: 42k -> 75k QPS at 56k going 8k -> 64k)
         eng.query_k_batch(rng.standard_normal((B, d)).astype(np.float32), k)
         best = 1e9
         for _ in range(3):
