@@ -413,7 +413,9 @@ class AntitopoEngine(Engine):
                 not compressed or self.graph.packed_codes is not None
             ):
                 # ef is a runtime scalar here: sweeping ef_search reuses
-                # one compile (models/search.fused_query_batch).  Queries
+                # one compile per 128-wide ef_cap bucket (crossing a
+                # bucket boundary, e.g. 120 -> 160, compiles the wider
+                # beam once — models/search.fused_query_batch).  Queries
                 # ship as bf16 — the kernel scores bf16/s8 blocks anyway
                 # and the axon host->device link is the dominant per-call
                 # cost (tools/probe_flat_overhead.py) — and are upcast to

@@ -496,8 +496,9 @@ def fused_query_batch(
     Separate entry point from ``query_batch`` because its caching regime
     differs: ``ef`` is a runtime scalar operand (beam buffers are sized by
     the static ``ef_cap`` bucket), so an ef_search sweep — free in the
-    reference, src/antitopo_engine.h:189-195 — reuses one compile.
-    Requires ``graph.packed`` and ``B % qt == 0``.
+    reference, src/antitopo_engine.h:189-195 — reuses one compile per
+    128-wide ``ef_cap`` bucket (crossing a bucket boundary compiles the
+    wider-beam kernel once).  Requires ``graph.packed`` and ``B % qt == 0``.
     """
     assert graph.packed is not None, "index has no packed-neighbour arrays"
     B = q.shape[0]

@@ -105,3 +105,63 @@ def test_wave_build_via_engine_builder_flag():
     ans = eng.query_k_batch(q, k)
     rec = _recall(ans, gt)
     assert rec >= 0.85, f"engine wave recall {rec}"
+
+
+def test_wave_hierarchy_routing_isolated():
+    """Isolate the hierarchy-construction divergence (wave builder: bottom
+    layer Vamana-style first, upper layers RECONSTRUCTED afterwards,
+    models/wavebuild.py:16-22 — the reference constructs *through* the
+    hierarchy, src/antitopo_engine.h:333-414).
+
+    The hierarchy's only serving role is routing: it picks the bottom
+    beam's entry points.  So compare the bottom-layer beam run from
+    (a) the reconstructed hierarchy's greedy-descent entries against
+    (b) ORACLE entries (each query's true nearest corpus point — the best
+    any router could do).  If (a) tracks (b) within a small margin, the
+    after-the-fact hierarchy routes as well as a perfect router and the
+    end-recall gap vs the reference is attributable to the bottom graph,
+    not the hierarchy divergence."""
+    from expann_tpu.models.search import (
+        beam_search,
+        greedy_descent,
+        squared_norms,
+    )
+
+    x, q = _data(6000, 100, 32, seed=7)
+    k, ef = 10, 40
+    gt = _gt(x, q, k)
+    cfg = BuildConfig(M=12, ef_construction=80, prune_cand=64)
+    g = build_index_wave(x, cfg, wave_size=512, bootstrap=1024)
+    assert len(g.layers) >= 1, "need a real hierarchy to isolate"
+
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 96))))
+    qn = squared_norms(qp)
+    B = qp.shape[0]
+
+    def bottom_recall(ep_ids):
+        ids, _, _ = beam_search(
+            g.vectors, g.norms, g.adj_bottom, qp, qn, ep_ids,
+            ef=ef, max_iters=8 * ef + 16, sentinel=g.sentinel,
+        )
+        return _recall(np.asarray(ids[:, :k]), gt)
+
+    # (a) entries from the reconstructed hierarchy's greedy descent
+    from expann_tpu.models.search import _gather_dist2
+
+    ep = jnp.full((B,), g.starting_vertex, jnp.int32)
+    ep_d = _gather_dist2(g.vectors, g.norms, ep[:, None], qp, qn, "highest")[:, 0]
+    for layer in reversed(g.layers):
+        ep, ep_d = greedy_descent(
+            g.vectors, g.norms, layer.slot, layer.adj, qp, qn, ep, ep_d,
+            "highest",
+        )
+    rec_hier = bottom_recall(ep[:, None])
+
+    # (b) oracle entries: the true nearest corpus point per query
+    rec_oracle = bottom_recall(jnp.asarray(gt[:, :1].astype(np.int32)))
+
+    assert rec_hier >= 0.85, f"hierarchy-routed recall {rec_hier}"
+    assert rec_hier >= rec_oracle - 0.03, (
+        f"hierarchy routing loses {rec_oracle - rec_hier:.3f} recall vs "
+        f"oracle entries ({rec_hier} vs {rec_oracle})"
+    )
