@@ -6,14 +6,17 @@ src/pyplotter.py): an interactive recall-vs-QPS scatter over the
 engine param on either axis and the same transforms (time_per_query_ns ->
 QPS = 1e9/x, time_to_build_ns -> seconds).
 
-Dash/plotly are not available in this image, so the module provides:
+The module provides:
   * ``prepare_data`` — the same record->points transform, importable and
     tested,
   * a matplotlib static-plot CLI:
       python -m expann_tpu.pyplotter [--config config.json] [--file all.json]
           [--x recall --y time_per_query_ns] [--out plot.png]
-  * when Dash *is* importable, ``serve_dashboard()`` launches an interactive
-    app with metric/param axis dropdowns and hover annotations.
+  * ``serve_dashboard()`` / ``--serve`` — an interactive app with
+    metric/param axis dropdowns and hover annotations: the Dash app when
+    dash/plotly are importable, else a zero-dependency ``http.server``
+    fallback with an inline-SVG scatter (same data pipeline, live re-read
+    per request; ``make_stdlib_dashboard``, served + tested in-image).
 """
 
 from __future__ import annotations
@@ -102,9 +105,155 @@ def static_plot(
     plt.close(fig)
 
 
-def serve_dashboard(data_folder: str, k_value: int = 10):  # pragma: no cover
+_DASH_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>expann-tpu plots</title>
+<style>
+ body { font-family: sans-serif; margin: 1em; }
+ select { margin-right: 1em; }
+ #hover { white-space: pre; font-family: monospace; font-size: 12px;
+          border: 1px solid #aaa; padding: 6px; min-height: 14em;
+          margin-top: 0.5em; background: #fafafa; }
+ circle { cursor: pointer; }
+</style></head><body>
+<h3>expann-tpu benchmark dashboard</h3>
+<div>
+ <label>file <select id="file"></select></label>
+ <label>x <select id="x"></select></label>
+ <label>y <select id="y"></select></label>
+</div>
+<svg id="plot" width="860" height="520"></svg>
+<div id="hover">hover a point for Statistics / Param List</div>
+<script>
+const AXES = __AXES__;
+const FILES = ["all.json", "latest.json"];
+function fill(id, opts, val) {
+  const s = document.getElementById(id);
+  for (const [v, l] of opts) {
+    const o = document.createElement("option");
+    o.value = v; o.textContent = l; s.appendChild(o);
+  }
+  s.value = val; s.onchange = refresh;
+}
+const COLORS = ["#1f77b4","#ff7f0e","#2ca02c","#d62728","#9467bd","#8c564b"];
+async function refresh() {
+  const f = document.getElementById("file").value;
+  const x = document.getElementById("x").value;
+  const y = document.getElementById("y").value;
+  const r = await fetch(`/data?file=${f}&x=${x}&y=${y}`);
+  const d = await r.json();
+  const svg = document.getElementById("plot");
+  svg.innerHTML = "";
+  const W = 860, H = 520, L = 70, B = 40, T = 15, R = 15;
+  const logY = (y === "time_per_query_ns");
+  const ys = d.y.map(v => logY ? Math.log10(Math.max(v, 1e-12)) : v);
+  if (!d.x.length) return;
+  const [x0, x1] = [Math.min(...d.x), Math.max(...d.x)];
+  const [y0, y1] = [Math.min(...ys), Math.max(...ys)];
+  const sx = v => L + (x1 > x0 ? (v - x0) / (x1 - x0) : 0.5) * (W - L - R);
+  const sy = v => H - B - (y1 > y0 ? (v - y0) / (y1 - y0) : 0.5) * (H - B - T);
+  const engines = [...new Set(d.engine)];
+  const ns = "http://www.w3.org/2000/svg";
+  for (let i = 0; i < d.x.length; i++) {
+    const c = document.createElementNS(ns, "circle");
+    c.setAttribute("cx", sx(d.x[i])); c.setAttribute("cy", sy(ys[i]));
+    c.setAttribute("r", 5);
+    c.setAttribute("fill", COLORS[engines.indexOf(d.engine[i]) % COLORS.length]);
+    c.setAttribute("fill-opacity", "0.75");
+    const ann = d.annotations[i];
+    c.onmouseover = () => document.getElementById("hover").textContent = ann;
+    svg.appendChild(c);
+  }
+  const lbl = (tx, ty, t, rot) => {
+    const e = document.createElementNS(ns, "text");
+    e.setAttribute("x", tx); e.setAttribute("y", ty);
+    e.setAttribute("font-size", "13"); e.setAttribute("text-anchor", "middle");
+    if (rot) e.setAttribute("transform", `rotate(-90 ${tx} ${ty})`);
+    e.textContent = t; svg.appendChild(e);
+  };
+  lbl((L + W - R) / 2, H - 8, AXES[x] || x, false);
+  lbl(16, (T + H - B) / 2, (AXES[y] || y) + (logY ? " (log)" : ""), true);
+}
+fill("file", FILES.map(f => [f, f]), "all.json");
+fill("x", Object.entries(AXES), "recall");
+fill("y", Object.entries(AXES), "time_per_query_ns");
+refresh();
+</script></body></html>
+"""
+
+
+def make_stdlib_dashboard(data_folder: str):
+    """Zero-dependency interactive dashboard: the same live record->points
+    pipeline as the Dash app (axis dropdowns, hover Statistics/Param List
+    block, log-QPS axis) served by ``http.server`` with an inline-SVG
+    scatter.  Covers the reference dashboard's workflow
+    (reference: src/pyplotter.py) on hosts without dash/plotly.
+
+    Returns an ``http.server.ThreadingHTTPServer``; call
+    ``serve_forever()`` (or ``handle_request()`` in tests).
+    """
+    import http.server
+    import urllib.parse
+
+    page = _DASH_HTML.replace("__AXES__", json.dumps(AXIS_LABELS))
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, body: bytes, ctype: str):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urllib.parse.urlparse(self.path)
+            if url.path == "/":
+                return self._send(page.encode(), "text/html")
+            if url.path == "/data":
+                q = urllib.parse.parse_qs(url.query)
+                fname = q.get("file", ["all.json"])[0]
+                if fname not in ("all.json", "latest.json"):
+                    self.send_error(400, "bad file")
+                    return
+                try:
+                    recs = load_records(data_folder, fname)
+                except OSError:
+                    recs = []
+                data = prepare_data(
+                    recs,
+                    q.get("x", ["recall"])[0],
+                    q.get("y", ["time_per_query_ns"])[0],
+                    use_param_x=q.get("px", ["0"])[0] == "1",
+                    use_param_y=q.get("py", ["0"])[0] == "1",
+                )
+                return self._send(
+                    json.dumps(data).encode(), "application/json"
+                )
+            self.send_error(404)
+
+    return http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+
+
+def serve_dashboard(data_folder: str, k_value: int = 10):
+    """Interactive dashboard. Prefers the Dash app when dash/plotly are
+    installed; otherwise serves the stdlib fallback (same data pipeline,
+    dropdowns, and hover annotations)."""
+    try:
+        import dash  # noqa: F401
+    except ImportError:
+        srv = make_stdlib_dashboard(data_folder)
+        print(f"dash not installed; stdlib dashboard at "
+              f"http://127.0.0.1:{srv.server_address[1]}/")
+        srv.serve_forever()
+        return
+    _serve_dash_app(data_folder, k_value)
+
+
+def _serve_dash_app(data_folder: str, k_value: int = 10):  # pragma: no cover
     """Interactive Dash app, available only when dash/plotly are installed
-    (they are not in this image; the static CLI below is the default)."""
+    (they are not in this image; the stdlib fallback above is the default)."""
     import dash
     from dash import dcc, html
     from dash.dependencies import Input, Output

@@ -53,6 +53,53 @@ def test_static_plot(tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_stdlib_dashboard_serves(tmp_path):
+    """The zero-dependency dashboard actually serves: the page renders and
+    /data returns exactly prepare_data's columns (live re-read per request,
+    like the reference Dash app's callbacks)."""
+    import http.client
+    import threading
+
+    from expann_tpu.pyplotter import make_stdlib_dashboard
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "all.json").write_text(json.dumps(RECORDS))
+    (data_dir / "latest.json").write_text(json.dumps(RECORDS[:1]))
+
+    srv = make_stdlib_dashboard(str(data_dir))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        assert "expann-tpu benchmark dashboard" in page
+        assert "Queries per Second" in page  # axis labels embedded
+
+        conn.request("GET", "/data?file=all.json&x=recall&y=time_per_query_ns")
+        got = json.loads(conn.getresponse().read())
+        assert got == prepare_data(RECORDS, "recall", "time_per_query_ns")
+
+        # latest.json + param axis, through the same query params
+        conn.request("GET", "/data?file=latest.json&x=ef_search_mult&y=recall&px=1")
+        got = json.loads(conn.getresponse().read())
+        assert got == prepare_data(
+            RECORDS[:1], "ef_search_mult", "recall", use_param_x=True
+        )
+
+        # path traversal via file= is rejected
+        conn.request("GET", "/data?file=../secret.json&x=recall&y=recall")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
+
+
 def test_serve_dashboard_requires_dash(tmp_path, monkeypatch):
     """serve_dashboard builds a real Dash app when dash is installed and
     raises ImportError otherwise (documented: static_plot is the in-image
