@@ -189,26 +189,27 @@ class AntitopoEngine(Engine):
             self.graph, meta = load_index(c.index_filename)
             self.n = self.graph.n
             self.dim = int(meta.get("dim", self.graph.vectors.shape[1]))
+        elif self.graph is not None and self._pending:
+            # store -> build -> store -> build ACCUMULATES, matching the
+            # reference whose construction is insert-at-a-time into the
+            # live graph (src/antitopo_engine.h:310-330): continue
+            # wave-batched inserts over the existing index.
+            from expann_tpu.models.wavebuild import extend_index_wave
+
+            new_x = np.stack(self._pending).astype(np.float32)
+            self._pending = []
+            assert new_x.shape[1] == self.dim, "dim mismatch on extend"
+            bc = self._build_config()
+            self.graph = extend_index_wave(
+                self.graph, new_x, bc, wave_size=self.cfg.wave_size
+            )
+            self.n = self.graph.n
         else:
             assert self._pending, "no vectors stored"
             x = np.stack(self._pending).astype(np.float32)
             self._pending = []
             self.n, self.dim = x.shape
-            bc = BuildConfig(
-                M=c.M,
-                M0=c.M0,
-                ef_construction=c.ef_construction,
-                ortho_count=c.ortho_count,
-                ortho_factor=c.ortho_factor,
-                ortho_bias=c.ortho_bias,
-                prune_overflow=c.prune_overflow,
-                prune_cand=c.prune_cand,
-                seed=c.seed,
-                precision=c.precision,
-                builder=c.builder,
-                wave_size=c.wave_size,
-            )
-            self.graph = build_index(x, bc)
+            self.graph = build_index(x, self._build_config())
             if c.write_index and c.index_filename:
                 from expann_tpu.utils.persist import save_index
 
@@ -218,6 +219,23 @@ class AntitopoEngine(Engine):
         # reset stats before queries (src/antitopo_engine.h:488-492)
         self.num_distcomps = 0
         self.num_distcomps_compressed = 0
+
+    def _build_config(self) -> BuildConfig:
+        c = self.cfg
+        return BuildConfig(
+            M=c.M,
+            M0=c.M0,
+            ef_construction=c.ef_construction,
+            ortho_count=c.ortho_count,
+            ortho_factor=c.ortho_factor,
+            ortho_bias=c.ortho_bias,
+            prune_overflow=c.prune_overflow,
+            prune_cand=c.prune_cand,
+            seed=c.seed,
+            precision=c.precision,
+            builder=c.builder,
+            wave_size=c.wave_size,
+        )
 
     def _attach_codes(self) -> None:
         """Quantize the corpus per cfg.quant_mode (reference: build-time

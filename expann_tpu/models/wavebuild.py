@@ -366,3 +366,125 @@ def build_index_wave(
         layers=upper,
         starting_vertex=jnp.int32(sv),
     )
+
+def extend_index_wave(
+    graph: GraphIndex,
+    new_x: np.ndarray,
+    cfg: Optional[BuildConfig] = None,
+    wave_size: int = 1024,
+    slack: int = 64,
+    verbose: bool = False,
+) -> GraphIndex:
+    """Extend a built index with new vectors (store -> build -> store ->
+    build accumulates, like the reference's insert-at-a-time construction:
+    every ``store_vector`` call inserts into the live graph,
+    src/antitopo_engine.h:310-330, so a second build round simply continues
+    from the existing index).  TPU-native equivalent: continue wave-batched
+    inserts over the existing bottom layer, then rebuild the (tiny) upper
+    hierarchy over the combined corpus.
+
+    Layer draws stay consistent with a from-scratch build of the combined
+    corpus: ``draw_levels`` consumes one uniform per node from a seeded
+    counter-based PRNG, so the first ``n_old`` draws of the extended run
+    are bit-identical to the original build's.
+
+    Derived serving caches (packed blocks, quantized codes, entry-member
+    tables) are intentionally dropped — they are recomputed on demand by
+    the engine (models/antitopo.py ``_resolve_packed`` / ``_attach_codes``).
+    """
+    cfg = cfg or BuildConfig()
+    new_x = np.asarray(new_x, np.float32)
+    assert new_x.ndim == 2 and new_x.shape[0] > 0
+    n_old = graph.n
+    n = n_old + new_x.shape[0]
+    sentinel = n
+    cap = cfg.M0
+    R = _round_up(cap + slack, 16)
+
+    # combined corpus: old rows are already lane-padded; make_corpus pads
+    # the concatenation (a no-op on the old block) and appends the fresh
+    # +inf-norm sentinel row
+    old_rows = np.asarray(graph.vectors[:n_old])
+    d_pad = old_rows.shape[1]
+    from expann_tpu.ops.distance import LANE, pad_dim
+
+    new_rows = pad_dim(new_x, LANE)
+    assert new_rows.shape[1] == d_pad, (
+        f"dim mismatch: index built at padded dim {d_pad}, "
+        f"new vectors pad to {new_rows.shape[1]}"
+    )
+    vectors, norms = make_corpus(np.concatenate([old_rows, new_rows], axis=0))
+
+    # widen + re-sentinel the existing adjacency (old sentinel was n_old)
+    old_adj = np.asarray(graph.adj_bottom[:n_old])
+    old_adj = np.where(old_adj == n_old, sentinel, old_adj).astype(np.int32)
+    r_keep = min(old_adj.shape[1], R)
+    adj_np = np.full((n + 1, R), sentinel, np.int32)
+    adj_np[:n_old, :r_keep] = old_adj[:, :r_keep]
+    adj = jnp.asarray(adj_np)
+    counts = jnp.asarray((adj_np != sentinel).sum(axis=1).astype(np.int32))
+
+    medoid = jnp.asarray(graph.starting_vertex).astype(jnp.int32)
+    C = min(cfg.prune_cand, cfg.ef_construction)
+    ef_c = cfg.ef_construction
+    max_iters = 4 * ef_c + 32
+
+    i = n_old
+    wave_idx = 0
+    while i < n:
+        W = min(wave_size, n - i)
+        ids_np = np.arange(i, i + W, dtype=np.int32)
+        if W < wave_size and wave_idx > 0:
+            ids_np = np.concatenate(
+                [ids_np, np.full(wave_size - W, sentinel, np.int32)]
+            )
+        adj, counts = _wave_step(
+            vectors, norms, adj, counts, jnp.asarray(ids_np), medoid,
+            cap=cap, C=C, ef_c=ef_c, max_iters=max_iters,
+            ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            overflow_rows=128, precision=cfg.precision, expand=4,
+            sentinel=sentinel, ortho_count=cfg.ortho_count,
+        )
+        if verbose and wave_idx % 32 == 0:
+            jax.block_until_ready(counts)
+            print(f"extend build: {i}/{n}", flush=True)
+        i += W
+        wave_idx += 1
+
+    # cap sweep (reverse edges may have overfilled any row, old or new)
+    counts_np = np.asarray(counts[:n])
+    over = np.nonzero(counts_np > cap)[0].astype(np.int32)
+    P = 128
+    for r0 in range(0, over.size, P):
+        rows = over[r0 : r0 + P]
+        if rows.size < P:
+            rows = np.concatenate(
+                [rows, np.full(P - rows.size, sentinel, np.int32)]
+            )
+        adj, counts = _overflow_prune_jit(
+            vectors, norms, adj, counts, jnp.asarray(rows),
+            cap=cap, ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            sentinel=sentinel, precision=cfg.precision,
+        )
+
+    R0 = _round_up(cap, 16)
+    adj_bottom = jnp.asarray(np.asarray(adj)[:, :R0])
+
+    # hierarchy over the combined corpus (prefix-stable draws, see above)
+    levels, max_layer, _ = draw_levels(n, cfg.M, cfg.seed)
+    upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
+    if upper:
+        members = np.nonzero(levels >= max_layer - 1)[0]
+        sv = int(members[0]) if members.size else int(graph.starting_vertex)
+    else:
+        sv = int(graph.starting_vertex)
+
+    return GraphIndex(
+        vectors=vectors,
+        norms=norms,
+        adj_bottom=adj_bottom,
+        layers=upper,
+        starting_vertex=jnp.int32(sv),
+    )

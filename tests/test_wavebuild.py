@@ -165,3 +165,75 @@ def test_wave_hierarchy_routing_isolated():
         f"hierarchy routing loses {rec_oracle - rec_hier:.3f} recall vs "
         f"oracle entries ({rec_hier} vs {rec_oracle})"
     )
+
+
+def test_extend_index_wave_accumulates():
+    """store -> build -> store -> build must ACCUMULATE (the reference
+    inserts at store time, src/antitopo_engine.h:310-330, so a second
+    build continues from the live graph).  The extended index must (a)
+    contain both corpora, (b) hold recall parity with a from-scratch
+    build of the combined corpus."""
+    from expann_tpu.models.wavebuild import extend_index_wave
+
+    x_all, q = _data(4000, 80, 32, seed=11)
+    x0, x1 = x_all[:2500], x_all[2500:]
+    k, ef = 10, 40
+    gt = _gt(x_all, q, k)
+    cfg = BuildConfig(M=12, ef_construction=80, prune_cand=64)
+
+    g0 = build_index_wave(x0, cfg, wave_size=512, bootstrap=1024)
+    g_ext = extend_index_wave(g0, x1, cfg, wave_size=512)
+    assert g_ext.n == 4000
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 96))))
+    ids_ext, _, _ = query_batch(g_ext, qp, k=k, ef=ef)
+    rec_ext = _recall(np.asarray(ids_ext), gt)
+
+    g_full = build_index_wave(x_all, cfg, wave_size=512, bootstrap=1024)
+    ids_full, _, _ = query_batch(g_full, qp, k=k, ef=ef)
+    rec_full = _recall(np.asarray(ids_full), gt)
+
+    # results must span BOTH halves of the corpus
+    flat = np.asarray(ids_ext).ravel()
+    flat = flat[flat >= 0]
+    assert (flat < 2500).any() and (flat >= 2500).any()
+
+    assert rec_ext >= 0.85, f"extended recall {rec_ext}"
+    assert rec_ext >= rec_full - 0.08, (
+        f"extended {rec_ext} vs from-scratch {rec_full}"
+    )
+
+    # degree caps hold everywhere after extension
+    adj = np.asarray(g_ext.adj_bottom)[:4000]
+    deg = (adj != 4000).sum(1)
+    assert deg.max() <= cfg.M0
+    # no duplicate ids in any adjacency row
+    for row, d_ in zip(adj, deg):
+        real = row[row != 4000]
+        assert len(set(real.tolist())) == d_
+
+
+def test_engine_store_build_store_build():
+    """Engine-level reference-parity flow: a second store+build round
+    extends the index instead of dropping the first corpus."""
+    x_all, q = _data(3000, 40, 24, seed=12)
+    x0, x1 = x_all[:2000], x_all[2000:]
+    k = 5
+    gt = _gt(x_all, q, k)
+    eng = AntitopoEngine(
+        config=AntitopoConfig(
+            M=10, ef_construction=60, ef_search=30, builder="wave",
+            wave_size=512,
+        )
+    )
+    eng.store_many_vectors(x0)
+    eng.build()
+    assert eng.n == 2000
+    eng.store_many_vectors(x1)
+    eng.build()
+    assert eng.n == 3000
+    ans = eng.query_k_batch(q, k)
+    rec = _recall(ans, gt)
+    flat = np.asarray(ans).ravel()
+    flat = flat[flat >= 0]
+    assert (flat >= 2000).any(), "second-round vectors never returned"
+    assert rec >= 0.85, f"store-build-store-build recall {rec}"
