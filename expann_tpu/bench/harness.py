@@ -31,6 +31,13 @@ def get_benchmark_data(eng: Engine, ds: TestDataset) -> BenchData:
     eng.build()
     t1 = time.perf_counter_ns()
 
+    # one untimed warmup pass at the timed shapes: XLA compiles on first
+    # dispatch (minutes-slow on remote-compile hosts); the reference is
+    # ahead-of-time C++ with no compile step, so folding compilation into
+    # time_per_query_ns would measure the compiler, not the engine
+    eng.query_k_batch(ds.queries, ds.k)
+    eng.reset_stats()  # warmup must not inflate the distcomp counters
+
     t_q0 = time.perf_counter_ns()
     ans = eng.query_k_batch(ds.queries, ds.k)  # (m, k)
     t_q1 = time.perf_counter_ns()

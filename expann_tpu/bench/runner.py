@@ -140,6 +140,8 @@ def perform_benchmarks(
                         eng.graph, codes=codes, code_norms=code_norms
                     )
                     built[key] = (eng, build_ns)
+                eng.query_k_batch(ds.queries, ds.k)  # untimed compile warmup
+                eng.reset_stats()
                 t0 = time.perf_counter_ns()
                 ans = eng.query_k_batch(ds.queries, ds.k)
                 t1 = time.perf_counter_ns()

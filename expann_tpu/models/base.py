@@ -66,3 +66,16 @@ class Engine:
         MXU sees big contractions instead of one-at-a-time scalar loops.
         """
         raise NotImplementedError
+
+    def reset_stats(self) -> None:
+        """Zero RECORD_STATS counters (reference: reset on build,
+        src/antitopo_engine.h:488-492; exposed so harnesses can exclude
+        untimed warmup dispatches from the reported counts)."""
+        for attr in (
+            "num_distcomps",
+            "num_distcomps_compressed",
+        ):
+            if hasattr(self, attr):
+                setattr(self, attr, 0)
+        if hasattr(self, "total_query_time_ns"):
+            self.total_query_time_ns = 0.0
