@@ -152,12 +152,6 @@ def _fused_kernel(
         )
 
         # --- fetch the selected nodes' packed blocks (data-dependent DMA) ---
-        # sentinel selections (query done, or fewer than E unexpanded beam
-        # entries) SKIP their DMAs entirely: near tile convergence idle
-        # queries would otherwise stream the 16-32KB sentinel block every
-        # iteration, and the fused traversal is HBM-bandwidth-bound
-        # (BENCH_NOTES).  Their stale VMEM slots are masked out of the
-        # merge below, which also guards the it=0 uninitialized case.
         if "skip_dma" not in DBG:
             for qi in range(T):
                 for e in range(E):
@@ -165,30 +159,20 @@ def _fused_kernel(
                         (it % 97) * (qi + e) if "static_sel" in DBG
                         else selbuf[qi, e]
                     )
-
-                    @pl.when(node != sent)
-                    def _(node=node, qi=qi, e=e):
-                        pltpu.make_async_copy(
-                            packed_ref.at[node], vbuf.at[qi, e], sems.at[2 * qi]
-                        ).start()
-                        pltpu.make_async_copy(
-                            aux_ref.at[node], abuf.at[qi, e], sems.at[2 * qi + 1]
-                        ).start()
+                    pltpu.make_async_copy(
+                        packed_ref.at[node], vbuf.at[qi, e], sems.at[2 * qi]
+                    ).start()
+                    pltpu.make_async_copy(
+                        aux_ref.at[node], abuf.at[qi, e], sems.at[2 * qi + 1]
+                    ).start()
             for qi in range(T):
                 for e in range(E):
-                    node = (
-                        (it % 97) * (qi + e) if "static_sel" in DBG
-                        else selbuf[qi, e]
-                    )
-
-                    @pl.when(node != sent)
-                    def _(qi=qi, e=e):
-                        pltpu.make_async_copy(
-                            packed_ref.at[0], vbuf.at[qi, e], sems.at[2 * qi]
-                        ).wait()
-                        pltpu.make_async_copy(
-                            aux_ref.at[0], abuf.at[qi, e], sems.at[2 * qi + 1]
-                        ).wait()
+                    pltpu.make_async_copy(
+                        packed_ref.at[0], vbuf.at[qi, e], sems.at[2 * qi]
+                    ).wait()
+                    pltpu.make_async_copy(
+                        aux_ref.at[0], abuf.at[qi, e], sems.at[2 * qi + 1]
+                    ).wait()
 
         # --- score all T*E blocks with one MXU matmul ---
         if "skip_score" in DBG:
@@ -258,14 +242,7 @@ def _fused_kernel(
                 nrm_e = abuf[:, e, 0, :RS]  # +inf at sentinel/pad slots
                 # aux row 1: ids as biased bit patterns (pallas_beam)
                 ids_e = decode_ids_f32(abuf[:, e, 1, :RS])
-                # sentinel selections skipped their DMA: mask the stale
-                # (or at it=0 uninitialized) VMEM slot's candidates
-                d_e = jnp.where(
-                    sel[:, e : e + 1] == sent,
-                    INF,
-                    nrm_e + qn - 2.0 * dots[e],
-                )
-                segs.append((d_e, ids_e))
+                segs.append((nrm_e + qn - 2.0 * dots[e], ids_e))
 
         if "skip_merge" not in DBG:
             # --- merge: per-segment extract-min, immediate replace-max
