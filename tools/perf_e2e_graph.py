@@ -7,7 +7,7 @@ empty 64-iteration traversal costs within noise of a full one.  The
 decisive lever is therefore AMORTIZATION: batch size and chunk pipelining,
 measured end-to-end here, not in-kernel microcosts.
 
-Usage: python tools/perf_e2e_graph.py [n] [ef] [Q1,Q2,...] [query_block]
+Usage: python tools/perf_e2e_graph.py [n] [ef] [Q1,Q2,...] [query_block] [packed_dtype]
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ def main():
     qs = [int(v) for v in (sys.argv[3] if len(sys.argv) > 3 else
                            "8192,32768,65536").split(",")]
     qb = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
+    pdt = sys.argv[5] if len(sys.argv) > 5 else "bf16"
 
     from expann_tpu.data.loader import load_synthetic_uniform_sphere_points
     from expann_tpu.models.antitopo import AntitopoConfig, AntitopoEngine
@@ -40,6 +41,7 @@ def main():
         prune_cand=500, precision="default",
         query_expand=2, fused_cand=16, fused_qt=128, query_block=qb,
         entry_seeds=8, ef_search=ef,
+        packed_dtype=pdt,
         index_filename=f"/tmp/perf_fused_idx_{n}.npz",
         read_index=True, write_index=True,
     )
