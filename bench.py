@@ -177,7 +177,10 @@ def main() -> None:
     if not quick:
         graph.cfg.use_compression = True
         graph._attach_codes()
-        for mult in [10, 12]:
+        # ef=110 (mult 11) is the sweet spot measured in /tmp sweeps:
+        # 77.5k QPS @ recall 0.9590 — the best graph point clearing the
+        # 0.95 gate (ef=100 sits at 0.9497, just under)
+        for mult in [10, 11, 12]:
             graph.set_ef_search(k * mult)
             rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
             distcomps = (

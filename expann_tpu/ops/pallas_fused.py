@@ -7,8 +7,11 @@ This kernel keeps the ENTIRE traversal of a query tile inside one Pallas
 grid step (reference hot loop: src/antitopo_engine.h:637-688, the whole
 ``query_k_at_layer`` while-loop :584-688):
 
-  * the beam ``(QT, EF)`` (distances, ids, expanded-flags) lives in
-    vector registers across iterations — no HBM round-trips, no sort,
+  * the beam ``(QT, EF)`` (distances + ids, with the per-entry expanded
+    flag packed into the id's sign as ``~id`` — a separate flag array
+    costs 16 live vregs of carry that Mosaic spills every iteration)
+    lives in vector registers across iterations — no HBM round-trips,
+    no sort,
   * per iteration each query selects its best unexpanded beam entries
     (masked-min extraction), stages their ids to VMEM, reads them back as
     scalars, and issues the packed-block DMAs (data-dependent indices
@@ -16,16 +19,16 @@ grid step (reference hot loop: src/antitopo_engine.h:637-688, the whole
   * all ``QT*E`` fetched blocks are scored with ONE MXU matmul
     ``q @ blocks^T`` (the QT× redundant rows are free — the MXU is never
     the bottleneck here),
-  * merging is two-phase (measured in tools/probe_fused_cost.py: wide
-    vector ops dominate a naive merge): each expansion's RS scored rows
-    first reduce to their best TOPT via masked-min extraction on the
-    narrow (QT, RS) segment, then the E*TOPT compact candidates enter the
-    beam by replace-max insertion — ~12 single-vreg ops each, dedup against
-    the beam by id equality.  Candidate-vs-candidate dedup is implicit:
-    bf16 block scores of the same node are bitwise equal, so a duplicate
-    of an inserted node hits the id check, and a duplicate of a rejected
-    one is rejected by the same (monotonically decreasing) beam-max
-    comparison,
+  * merging works on f32 PACKED KEYS (the entry's lane index replaces the
+    distance's low mantissa bits, so one f32 min/max reduction yields the
+    extreme value AND its lane): each expansion's RS scored rows reduce
+    to their best TOPT via packed-key extract-min, then each candidate
+    replace-max-inserts with ONE reduction, with the dup checks hoisted
+    OFF the serial insertion chain (vs the iteration-start beam plus
+    earlier candidates).  A naive replace-max's per-insertion chain of
+    (wmax, wlsel, dup) reductions measured 13.5 of 22 us/tile-iter
+    (tools/probe_fused_slope.py); a sorted-beam lane-roll insertion
+    measured worse still (rolls lower expensively),
   * termination is per query-tile (``jax.lax.while_loop`` on a scalar
     all-done reduction) — the reference's break condition
     (src/antitopo_engine.h:588-590) checked tile-locally, so one slow
@@ -37,7 +40,9 @@ top-k multiset), so the beam equals the reference's ``nearest`` heap over
 the visited set.  Beam-dedup correctness argument is the same as
 models/search.py: a node in the beam is never re-added, an evicted node
 can never re-enter because the beam improves monotonically, so no cycles
-are possible.
+are possible.  Off-chain dup checks stay exhaustive because the live max
+is non-increasing across insertions: a candidate bitwise-equal to an
+earlier-rejected one is rejected again by the same compare.
 """
 
 from __future__ import annotations
@@ -94,54 +99,77 @@ def _fused_kernel(
     slane = jax.lax.broadcasted_iota(jnp.int32, (T, RS), 1)
     sent = SENTINEL
 
-    # Round-2 attributed 68 of 93.5 us/tile-iter to the while_loop carry;
-    # round-3 re-measurement with a "noop" body showed most of that was
-    # the ~100-200ms per-DISPATCH wall overhead on this axon host
-    # amortized over the iteration count — a VMEM-scratch state rewrite
-    # (refs discharge back into the carry plus explicit load/stores) was
-    # measurably SLOWER e2e (32.5k vs 40.7k QPS at identical work), so
-    # the carry design stands and the amortization lever is batch size
-    # (tools/perf_e2e_graph.py).  A bf16 distance carry remains blocked
-    # on Mosaic mixed-bitwidth i1 relayouts ("Invalid relayout ...
-    # vector<128x128xi1>"); "bf16carry" in DBG re-enables the experiment.
-    CDT = jnp.bfloat16 if "bf16carry" in DBG else jnp.float32
+    # --- f32 packed keys ---
+    # Every distance the kernel keeps (beam carry AND candidate segments)
+    # is an f32 whose low LB mantissa bits are replaced by the entry's
+    # lane index.  For non-negative finite floats the f32 order equals
+    # the order of their bit patterns, so one hardware f32 min/max
+    # reduction yields BOTH the extreme value and its lane — the lane
+    # needs no second reduction.  The replace-max merge's serial chain of
+    # per-insertion (wmax, wlsel, dup) reductions measured 13.5 of 22
+    # us/tile-iter (tools/probe_fused_slope.py); packed keys cut it to
+    # one reduction per insertion, and duplicates of a node keep bitwise-
+    # equal keys (same clobber), preserving the dedup argument.  The
+    # <= 2^-15-relative clobber is far below the bf16 block-score
+    # precision; callers rerank the final beam in exact f32 anyway.
+    # +inf distances are clamped to 3e38 first (0x7f800000 | lane would
+    # be a NaN pattern and poison the f32 compares).
+    LB = max((EF - 1).bit_length(), (max(RS, 2) - 1).bit_length())
+    LMASK = (1 << LB) - 1
+    KEYM = ~LMASK
+    FINTH = 1.0e38  # "finite" threshold: real distances are far below
+
+    def pack_keys(d, lanes):
+        db = jax.lax.bitcast_convert_type(
+            jnp.clip(d, 0.0, 3.0e38), jnp.int32
+        )
+        return jax.lax.bitcast_convert_type((db & KEYM) | lanes, jnp.float32)
+
+    def key_lane(k):
+        return jax.lax.bitcast_convert_type(k, jnp.int32) & LMASK
+
+    def key_val(k):  # strip the lane bits back out
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(k, jnp.int32) & KEYM, jnp.float32
+        )
 
     def body(carry):
-        beam_d, beam_ids, beam_exp, done, it, ncomp = carry
+        # beam_k: packed keys (clobbered distance | beam lane).  beam_ids
+        # encode the reference's per-entry "expanded" flag in the sign:
+        # an expanded entry stores ~id (bitwise NOT, always < 0 for real
+        # ids >= 0) — a separate (T, EF) int32 flag array costs 16 more
+        # live carry vregs.
+        beam_k, beam_ids, done, it, ncomp = carry
 
         if "noop" in DBG:  # cost probe: loop skeleton + carry only
-            return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
+            return beam_k, beam_ids, done, it + 1, ncomp
         if "minimal" in DBG:  # cost probe: carry + one reduction only
-            beam_d = beam_d + jnp.min(beam_d, axis=1, keepdims=True) * CDT(1e-3)
-            return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
+            beam_k = beam_k + jnp.min(beam_k, axis=1, keepdims=True) * 1e-3
+            return beam_k, beam_ids, done, it + 1, ncomp
 
         # --- select the E best unexpanded beam entries per query ---
-        masked = jnp.where((beam_exp == 1) | ~live, INF, beam_d)
-        worst = jnp.max(jnp.where(live, beam_d, -INF), axis=1, keepdims=True)
+        masked = jnp.where((beam_ids < 0) | ~live, INF, beam_k)
+        worst = jnp.max(jnp.where(live, beam_k, -INF), axis=1, keepdims=True)
         sel_cols = []
         for e in range(E):
             m = jnp.min(masked, axis=1, keepdims=True)
-            lsel = jnp.min(
-                jnp.where(masked == m, lane, BIG), axis=1, keepdims=True
-            )
-            smask = lane == lsel
+            smask = lane == key_lane(m)  # the key IS the argmin
             sid = jnp.min(jnp.where(smask, beam_ids, BIG), axis=1, keepdims=True)
-            # isfinite lowers through an f32-only Mosaic op; a threshold
-            # compare works in any carry dtype (no NaNs are ever produced)
-            fin = m < CDT(3e38)
+            fin = m < FINTH
             if e == 0 and "nodone" not in DBG:
                 # reference break: best unexpanded worse than the beam's
-                # worst member (full beams only: empty slots hold +inf so
-                # worst == +inf keeps the query running)
+                # worst member (full beams only: empty slots hold clamped
+                # +inf so worst >= FINTH keeps the query running)
                 done = jnp.maximum(done, ((m > worst) | ~fin).astype(jnp.int32))
             sel_cols.append(jnp.where(fin & (done == 0), sid, sent))
             if "nodone" not in DBG:
-                beam_exp = jnp.where(smask & fin, 1, beam_exp)
-            masked = jnp.where(smask, CDT(INF), masked)
+                # mark expanded: flip the selected lane's id to ~id
+                beam_ids = jnp.where(smask & fin, ~beam_ids, beam_ids)
+            masked = jnp.where(smask, INF, masked)
         sel = jnp.concatenate(sel_cols, axis=1)  # (T, E)
         if "selonly" in DBG:  # cost probe: selection ops, no staging store
-            beam_d = beam_d + sel[:, :1].astype(CDT) * CDT(1e-6)
-            return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
+            beam_k = beam_k + sel[:, :1].astype(jnp.float32) * 1e-6
+            return beam_k, beam_ids, done, it + 1, ncomp
         selbuf[...] = jnp.concatenate(
             [sel, jnp.full((T, 128 - E), sent, jnp.int32)], axis=1
         )
@@ -181,6 +209,13 @@ def _fused_kernel(
                 (slane.astype(jnp.float32) * 0.125 + itf + e, slane + it)
                 for e in range(E)
             ]
+        elif "skip_matmul" in DBG:  # cost probe: real DMA+aux, fake dots
+            segs = []
+            for e in range(E):
+                dfake = vbuf[:, e, :, 0].astype(jnp.float32)
+                nrm_e = abuf[:, e, 0, :RS]
+                ids_e = decode_ids_f32(abuf[:, e, 1, :RS])
+                segs.append((nrm_e + qn - 2.0 * dfake, ids_e))
         else:
             # one (8, D) x (D, 8*E*RS) matmul per 8-query subgroup: the 8x
             # row redundancy is free on the MXU, and grouping bounds the
@@ -204,20 +239,24 @@ def _fused_kernel(
                             preferred_element_type=acc_t,
                         ).astype(jnp.float32)
                     )  # (8, 8*E*RS); row r only needs its own E*RS segment
-                dots = [
-                    jnp.concatenate(
-                        [
-                            bigs[qi // 8][
-                                qi % 8 : qi % 8 + 1,
-                                ((qi % 8) * E + e) * RS
-                                : ((qi % 8) * E + e + 1) * RS,
-                            ]
-                            for qi in range(T)
-                        ],
-                        axis=0,
-                    )  # (T, RS)
-                    for e in range(E)
-                ]
+                # Row r of each group's product needs only its own E*RS
+                # block-diagonal segment: shift each 128-aligned segment
+                # into place and row-mask-sum (8 aligned lane-slices +
+                # selects per group; measured equal to per-row slicing —
+                # Mosaic handles both — but this form keeps the slices
+                # aligned for any E*RS multiple of 128).
+                W = E * RS
+                row8 = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+                accs = []
+                for g in range(T // 8):
+                    acc = jnp.zeros((8, W), jnp.float32)
+                    for j in range(8):
+                        acc = acc + jnp.where(
+                            row8 == j, bigs[g][:, j * W : (j + 1) * W], 0.0
+                        )
+                    accs.append(acc)
+                acc_all = jnp.concatenate(accs, axis=0)  # (T, E*RS)
+                dots = [acc_all[:, e * RS : (e + 1) * RS] for e in range(E)]
             else:
                 # RS < 128: the subgroup extraction above would slice the
                 # matmul output at non-128-aligned lane offsets, which
@@ -239,71 +278,118 @@ def _fused_kernel(
                 ]
             segs = []
             for e in range(E):
+                if "skip_aux" in DBG:  # cost probe: real dots, fake aux
+                    segs.append((dots[e] + qn, slane + it))
+                    continue
                 nrm_e = abuf[:, e, 0, :RS]  # +inf at sentinel/pad slots
                 # aux row 1: ids as biased bit patterns (pallas_beam)
                 ids_e = decode_ids_f32(abuf[:, e, 1, :RS])
                 segs.append((nrm_e + qn - 2.0 * dots[e], ids_e))
 
         if "skip_merge" not in DBG:
-            # --- merge: per-segment extract-min, immediate replace-max
-            # insertion (interleaved to keep register pressure low — a
-            # materialized candidate list spills) ---
+            # --- merge: packed-key extract-min, packed-key replace-max ---
+            # Extraction: one f32 min reduction per candidate gives value
+            # AND lane (packed key); a second gives its id.  Insertion:
+            # one f32 max reduction gives the live-worst's value AND lane
+            # — no wlsel reduction — and the dup checks run against the
+            # iteration-START beam plus earlier candidates, OFF the serial
+            # insertion chain.  Off-chain dup is exhaustive: the live max
+            # is non-increasing across insertions, so a candidate equal to
+            # an earlier-rejected one (bitwise-equal key) would be
+            # rejected again, and one equal to an earlier-admitted one
+            # must be suppressed regardless (reference visited-set
+            # semantics, src/antitopo_engine.h:574-607).
+            b_ids0 = beam_ids  # pre-insertion membership for dup checks
+            cands = []  # per segment: ([(T,1) key...], [(T,1) cid...])
             for seg_d, seg_i in segs:
-                for _ in range(TOPT):
-                    m = jnp.min(seg_d, axis=1, keepdims=True)
-                    lsel = jnp.min(
-                        jnp.where(seg_d == m, slane, BIG), axis=1, keepdims=True
+                skey = pack_keys(seg_d, slane)
+                mcs, cids = [], []
+                for _t in range(TOPT):
+                    kmin = jnp.min(skey, axis=1, keepdims=True)
+                    smask = slane == key_lane(kmin)
+                    skey = jnp.where(smask, INF, skey)
+                    mcs.append(kmin)
+                    cids.append(
+                        jnp.min(
+                            jnp.where(smask, seg_i, BIG),
+                            axis=1, keepdims=True,
+                        )
                     )
-                    smask = slane == lsel
-                    cid = jnp.min(
-                        jnp.where(smask, seg_i, BIG), axis=1, keepdims=True
-                    )
-                    seg_d = jnp.where(smask, INF, seg_d)
-                    dup = jnp.max(
-                        ((beam_ids == cid) & live).astype(jnp.int32),
-                        axis=1,
-                        keepdims=True,
-                    )
-                    wmax = jnp.max(
-                        jnp.where(live, beam_d, -INF), axis=1, keepdims=True
-                    )
-                    wlsel = jnp.min(
-                        jnp.where((beam_d == wmax) & live, lane, BIG),
-                        axis=1,
-                        keepdims=True,
-                    )
-                    # compare and insert in carry precision: a candidate
-                    # admitted on an f32 compare could round UP past the
-                    # evicted max after the bf16 store, breaking the
-                    # monotone-beam argument
-                    mc = m.astype(CDT)
-                    ok = (mc < wmax) & (dup == 0) & (done == 0)
-                    repl = (lane == wlsel) & ok
-                    beam_d = jnp.where(repl, mc, beam_d)
-                    beam_ids = jnp.where(repl, cid, beam_ids)
-                    beam_exp = jnp.where(repl, 0, beam_exp)
+                cands.append((mcs, cids))
+            if "extract_only" in DBG:  # cost probe: no insertions
+                for mcs, cids in cands:
+                    for mc, cid in zip(mcs, cids):
+                        done = jnp.minimum(done, 1 + 0 * cid)
+                        beam_k = jnp.where(mc < 0.0, mc, beam_k)
+            else:
+                for e, (mcs, cids) in enumerate(cands):
+                    for t in range(TOPT):
+                        mc, cid = mcs[t], cids[t]
+                        # dup: vs the iteration-start beam (either sign:
+                        # selection may have flipped the expanded flag) ...
+                        dup = jnp.max(
+                            ((b_ids0 == cid) | (b_ids0 == ~cid)).astype(
+                                jnp.int32
+                            ),
+                            axis=1,
+                            keepdims=True,
+                        )
+                        # ... plus candidates from earlier segments this
+                        # iteration (adjacency rows are duplicate-free, so
+                        # same-segment dups are impossible — per-row
+                        # uniqueness is asserted by the builder tests)
+                        for pe in range(e):
+                            for pc in cands[pe][1]:
+                                dup = jnp.maximum(
+                                    dup, (pc == cid).astype(jnp.int32)
+                                )
+                        supp = (dup > 0) | (done == 1)
+                        kmax = jnp.max(
+                            jnp.where(live, beam_k, -INF),
+                            axis=1, keepdims=True,
+                        )
+                        w_lane = key_lane(kmax)
+                        mci = (
+                            jax.lax.bitcast_convert_type(mc, jnp.int32)
+                            & KEYM
+                        )
+                        # tie -> reject (strict <, as the reference's
+                        # heap): compare with the lane bits saturated
+                        ck_cmp = jax.lax.bitcast_convert_type(
+                            mci | LMASK, jnp.float32
+                        )
+                        new_k = jax.lax.bitcast_convert_type(
+                            mci | w_lane, jnp.float32
+                        )
+                        repl = (lane == w_lane) & (ck_cmp < kmax) & ~supp
+                        beam_k = jnp.where(repl, new_k, beam_k)
+                        # cid >= 0: the inserted entry is unexpanded
+                        beam_ids = jnp.where(repl, cid, beam_ids)
 
-        return beam_d, beam_ids, beam_exp, done, it + 1, ncomp
+        return beam_k, beam_ids, done, it + 1, ncomp
 
     def cond(carry):
-        _, _, _, done, it, _ = carry
+        _, _, done, it, _ = carry
         if "fori" in DBG:  # cost probe: pure-scalar condition, no early exit
             return it < max_iters
         return (it < max_iters) & (jnp.min(done) == 0)
 
-    beam_d, beam_ids, _, _, it, ncomp = jax.lax.while_loop(
+    beam_k, beam_ids, _, it, ncomp = jax.lax.while_loop(
         cond,
         body,
         (
-            bd0_ref[...].astype(CDT),
+            pack_keys(bd0_ref[...], lane),
             bi0_ref[...],
-            jnp.zeros((T, EF), jnp.int32),
             jnp.zeros((T, 1), jnp.int32),
             jnp.int32(0),
             jnp.zeros((T, 1), jnp.int32),
         ),
     )
-    obd_ref[...] = jnp.where(live, beam_d, CDT(INF)).astype(jnp.float32)
+    # strip the lane bits: output distances are the clobbered values
+    # (<= 2^-15 relative; callers rerank in exact f32)
+    obd_ref[...] = jnp.where(live, key_val(beam_k), INF)
+    # strip the expanded flag (~id < 0 -> id) from the output
+    beam_ids = jnp.where(beam_ids < 0, ~beam_ids, beam_ids)
     obi_ref[...] = jnp.where(live, beam_ids, sent)
     stat_lane = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
     # col0: per-row distcomp counts (sum over rows outside); col1: iters

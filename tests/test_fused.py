@@ -136,6 +136,58 @@ def test_fused_search_exact_on_full_beam():
     assert int(np.asarray(ncomp).sum()) > 0
 
 
+def test_fused_search_dedup_under_maximal_overlap():
+    """Adversarial dedup check for the merge's off-chain dup logic: on a
+    COMPLETE graph with expand=2 both expanded blocks offer the SAME
+    candidate list every iteration (maximal cross-segment duplication),
+    and every iteration re-offers nodes already in the beam.  The beam
+    must stay duplicate-free and still converge to the exact top-n."""
+    rng = np.random.default_rng(17)
+    n, d = 60, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    vecs = jnp.asarray(
+        np.concatenate(
+            [np.pad(x, ((0, 0), (0, 128 - d))), np.zeros((1, 128), np.float32)]
+        )
+    )
+    norms = jnp.concatenate([jnp.sum(vecs[:n] ** 2, 1), jnp.array([np.inf])])
+    adj = jnp.asarray(np.tile(np.arange(n, dtype=np.int32), (n + 1, 1)))
+    packed, aux = build_packed(vecs, norms, adj, dtype=jnp.float32)
+
+    B, EF, ef = 8, 128, 120
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 128 - d))))
+    qn = np.sum(q**2, axis=1)
+    bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, 0].set(
+        jnp.asarray(qn + np.sum(x[0] ** 2) - 2 * q @ x[0])
+    )
+    bi0 = jnp.full((B, EF), n, jnp.int32).at[:, 0].set(0)
+    # cand covering the whole row: every unvisited neighbour is insertable
+    # each iteration, so the beam must converge to the entire corpus
+    ids, dists, _, _ = fused_search(
+        packed, aux, qp, bd0, bi0, ef=ef, expand=2, cand=256,
+        qt=8, interpret=True,
+    )
+    ids = np.asarray(ids)
+    for b in range(B):
+        got = [int(i) for i in ids[b] if i < n]
+        # no duplicates, ever
+        assert len(set(got)) == len(got), got
+        # converged to the full corpus (n < ef)
+        assert sorted(got) == list(range(n))
+    # small cand: the per-segment extraction quota is spent on already-in-
+    # beam nodes (documented divergence from the reference's uncapped
+    # neighbour push) — the beam may stall early but must stay dup-free
+    ids, _, _, _ = fused_search(
+        packed, aux, qp, bd0, bi0, ef=ef, expand=2, cand=16,
+        qt=8, interpret=True,
+    )
+    ids = np.asarray(ids)
+    for b in range(B):
+        got = [int(i) for i in ids[b] if i < n]
+        assert len(set(got)) == len(got), got
+
+
 def test_multi_seed_entry_scan_on_clustered_data():
     """On multi-basin (clustered) data, single greedy descent can trap the
     beam in the wrong cluster; the dense multi-seed entry scan

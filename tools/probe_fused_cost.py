@@ -5,7 +5,8 @@ tile terminates early) with components disabled one at a time, and prints
 the per-tile-iteration cost of each configuration.  Fresh random queries
 per timed call (identical dispatches dedup on this host).
 
-Usage: python tools/probe_fused_cost.py [n=8000] [E=4] [C=32]
+Usage: python tools/probe_fused_cost.py [n=8000] [E=4] [C=32] [QT=8] [pdt=bf16]
+Env: PROBE_ITERS (default 24), PROBE_DBG (';'-separated dbg strings)
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ def main():
     E = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     C = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     QT = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    PDT = sys.argv[5] if len(sys.argv) > 5 else "bf16"
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +40,7 @@ def main():
     ds = load_synthetic_uniform_sphere_points(n=n, m=400, k=10, d=d)
     cfg = AntitopoConfig(
         M=60, ef_construction=500, ortho_count=1, prune_overflow=1,
-        prune_cand=500, precision="default",
+        prune_cand=500, precision="default", packed_dtype=PDT,
         index_filename=f"/tmp/perf_fused_idx_{n}.npz",
         read_index=True, write_index=True,
     )
