@@ -83,6 +83,12 @@ class AntitopoConfig:
     use_fused: object = "auto"
     fused_cand: int = 16
     fused_qt: int = 128
+    # order queries within a batch by entry-seed distance before tiling
+    # (a tile runs until its slowest query converges; grouping similar-
+    # difficulty queries cuts the per-tile straggler max — results are
+    # unpermuted, so output order is unchanged).  tools/probe_straggler.py
+    # measures the win; off by default until it clears >15% there.
+    fused_sort_tiles: bool = False
     # packed block storage: "bf16" (default) or "i8" (centered s8 codes,
     # build_packed_i8 — half the DMA bytes per expansion; the fused
     # traversal is DMA-bound, so ~2x QPS at a small in-kernel ranking
@@ -452,6 +458,7 @@ class AntitopoEngine(Engine):
                     seeds=self.cfg.entry_seeds,
                     precision=self.cfg.precision,
                     interpret=interpret,
+                    sort_tiles=self.cfg.fused_sort_tiles,
                 )
             else:
                 # the per-iteration packed kernel scores raw blocks against

@@ -473,6 +473,7 @@ def query_batch(
         "seeds",
         "precision",
         "interpret",
+        "sort_tiles",
     ),
 )
 def fused_query_batch(
@@ -487,6 +488,7 @@ def fused_query_batch(
     seeds: int = 0,  # >0: dense multi-seed entry scan (needs entry_members)
     precision: str = "default",
     interpret: bool = False,
+    sort_tiles: bool = False,  # order queries by entry distance (straggler cut)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full batched query through the fully fused single-kernel traversal
     (ops/pallas_fused.py): greedy upper-layer descent, then the ENTIRE
@@ -587,6 +589,19 @@ def fused_query_batch(
             ep_d0 = ep_d
         bd0 = jnp.full((B, EF), INF, jnp.float32).at[:, 0].set(ep_d0)
         bi0 = jnp.full((B, EF), sentinel, jnp.int32).at[:, 0].set(ep)
+    if sort_tiles and B > qt:
+        # A query tile runs until its SLOWEST query converges, so kernel
+        # time is sum-over-tiles of max(per-query iters).  Entry-seed
+        # distance is a launch-time-available difficulty proxy: ordering
+        # queries by it groups similar-iteration queries into the same
+        # tile, cutting the per-tile straggler max (tools/probe_straggler
+        # measures proxy-vs-oracle).  Pure permutation — results are
+        # unpermuted below, so outputs are order-identical.
+        perm = jnp.argsort(jnp.min(bd0, axis=1))
+        inv = jnp.argsort(perm)
+        qk, bd0, bi0 = qk[perm], bd0[perm], bi0[perm]
+    else:
+        inv = None
     beam_ids, _, ncomp_rows, _ = fused_search(
         graph.packed,
         graph.packed_aux,
@@ -599,6 +614,8 @@ def fused_query_batch(
         qt=qt,
         interpret=interpret,
     )
+    if inv is not None:
+        beam_ids, ncomp_rows = beam_ids[inv], ncomp_rows[inv]
     ncomp = ncomp_rows + ncomp_extra  # (B,) per-query
     # Exact f32 rerank of the final (unsorted) beam, as the packed and
     # compressed paths do; also pushes sentinel/+inf lanes to the end.

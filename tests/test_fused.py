@@ -188,6 +188,40 @@ def test_fused_search_dedup_under_maximal_overlap():
         assert len(set(got)) == len(got), got
 
 
+def test_sort_tiles_is_order_identical():
+    """fused_sort_tiles permutes queries into similar-difficulty tiles
+    and unpermutes the outputs — results must be identical (same ids,
+    same per-query distcomp counts) to the unsorted path."""
+    from expann_tpu.models.search import fused_query_batch
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((400, 64)).astype(np.float32)
+    cfg = AntitopoConfig(
+        M=8, ef_construction=48, use_packed=True, use_fused=True,
+        fused_qt=8, query_expand=2, fused_cand=8, precision="default",
+    )
+    eng = AntitopoEngine(config=cfg)
+    eng.store_many_vectors(x)
+    eng.build()
+    eng._resolve_packed()
+    q = jnp.asarray(
+        np.pad(rng.standard_normal((32, 64)).astype(np.float32), ((0, 0), (0, 64)))
+    )
+    a = fused_query_batch(
+        eng.graph, q, 24, 5, qt=8, interpret=True, sort_tiles=False
+    )
+    b = fused_query_batch(
+        eng.graph, q, 24, 5, qt=8, interpret=True, sort_tiles=True
+    )
+    # ids may differ only where distances tie; distances must match and
+    # the counters may differ only via tile co-residency (iteration count
+    # is per-tile), so check ids/distances exactly here: with qt=8 and
+    # 32 queries the permutation changes tile membership, but each
+    # query's own traversal is deterministic given its seed beam.
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+
+
 def test_multi_seed_entry_scan_on_clustered_data():
     """On multi-basin (clustered) data, single greedy descent can trap the
     beam in the wrong cluster; the dense multi-seed entry scan
