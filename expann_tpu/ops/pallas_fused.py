@@ -113,7 +113,11 @@ def _fused_kernel(
     # <= 2^-15-relative clobber is far below the bf16 block-score
     # precision; callers rerank the final beam in exact f32 anyway.
     # +inf distances are clamped to 3e38 first (0x7f800000 | lane would
-    # be a NaN pattern and poison the f32 compares).
+    # be a NaN pattern and poison the f32 compares), and zero/near-zero
+    # distances are clamped UP to a small normal: pack_keys(0.0, lane)
+    # would be a subnormal whose lane bits an FTZ-flushing VPU min/max
+    # could zero out, corrupting the argmin lane (exact-zero distances
+    # are routine in i8 code space).
     LB = max((EF - 1).bit_length(), (max(RS, 2) - 1).bit_length())
     LMASK = (1 << LB) - 1
     KEYM = ~LMASK
@@ -121,7 +125,7 @@ def _fused_kernel(
 
     def pack_keys(d, lanes):
         db = jax.lax.bitcast_convert_type(
-            jnp.clip(d, 0.0, 3.0e38), jnp.int32
+            jnp.clip(d, 1.0e-35, 3.0e38), jnp.int32
         )
         return jax.lax.bitcast_convert_type((db & KEYM) | lanes, jnp.float32)
 
@@ -159,8 +163,14 @@ def _fused_kernel(
             if e == 0 and "nodone" not in DBG:
                 # reference break: best unexpanded worse than the beam's
                 # worst member (full beams only: empty slots hold clamped
-                # +inf so worst >= FINTH keeps the query running)
-                done = jnp.maximum(done, ((m > worst) | ~fin).astype(jnp.int32))
+                # +inf so worst >= FINTH keeps the query running).  Compare
+                # with lane bits STRIPPED: ties on the clobbered distance
+                # must keep searching (the reference's strict >), not
+                # terminate on a lane-index technicality.
+                done = jnp.maximum(
+                    done,
+                    ((key_val(m) > key_val(worst)) | ~fin).astype(jnp.int32),
+                )
             sel_cols.append(jnp.where(fin & (done == 0), sid, sent))
             if "nodone" not in DBG:
                 # mark expanded: flip the selected lane's id to ~id
@@ -217,9 +227,6 @@ def _fused_kernel(
                 ids_e = decode_ids_f32(abuf[:, e, 1, :RS])
                 segs.append((nrm_e + qn - 2.0 * dfake, ids_e))
         else:
-            # one (8, D) x (D, 8*E*RS) matmul per 8-query subgroup: the 8x
-            # row redundancy is free on the MXU, and grouping bounds the
-            # VMEM intermediate at O(8 * T * E * RS) instead of O(T^2)
             # s8 blocks take the s8 MXU path (s32 accumulate, exact — codes
             # bound |dot| < 2^24); bf16/f32 accumulate in f32
             acc_t = (

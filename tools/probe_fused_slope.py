@@ -60,11 +60,15 @@ def main():
     ntiles = (Q // QT)
 
     def run(dbg, iters):
-        qs = jnp.asarray(rng.standard_normal((Q, d)).astype(np.float32))
         bd0 = jnp.full((CHUNK, EF), jnp.inf, jnp.float32).at[:, 0].set(0.0)
         bi0 = jnp.full((CHUNK, EF), sentinel, jnp.int32).at[:, 0].set(0)
 
         def call():
+            # FRESH queries per timed call: identical dispatches over
+            # identical inputs dedup/cache on this host (CLAUDE.md) and
+            # would collapse both t_lo and t_hi toward the cached-return
+            # cost, corrupting the slope
+            qs = jnp.asarray(rng.standard_normal((Q, d)).astype(np.float32))
             outs = []
             for s in range(0, Q, CHUNK):
                 ids, _, _, it = fused_search(

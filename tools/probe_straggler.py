@@ -2,8 +2,13 @@
 
 A query tile (qt rows) runs until its SLOWEST query converges, so kernel
 time is proportional to sum-over-tiles of max(per-query iterations).
-Per-query iteration counts are recoverable exactly from the kernel's
-distcomp counters (ncomp_rows = RS*E*iters_active).  This probe measures:
+Per-query iteration counts are ESTIMATED from the kernel's distcomp
+counters as (ncomp - entry_scan) / (RS*E): an UNDERESTIMATE near
+convergence, where a query with fewer than E unexpanded finite entries
+is charged RS per actually-selected block only.  The bias applies
+equally under every candidate ordering, so the current/oracle/proxy
+tile-cost RATIOS remain meaningful even though absolute iteration
+counts are low.  This probe measures:
 
   * the per-query iteration distribution on the canonical 56k config,
   * the tile cost under the CURRENT (random) query order,
