@@ -8,6 +8,8 @@ decisive lever is therefore AMORTIZATION: batch size and chunk pipelining,
 measured end-to-end here, not in-kernel microcosts.
 
 Usage: python tools/perf_e2e_graph.py [n] [ef] [Q1,Q2,...] [query_block] [packed_dtype]
+Env: PERF_E (query_expand, default 2), PERF_C (fused_cand, default 16),
+     PERF_SORT=1 (fused_sort_tiles on)
 """
 
 from __future__ import annotations
@@ -39,7 +41,10 @@ def main():
     cfg = AntitopoConfig(
         M=60, ef_construction=500, ortho_count=1, prune_overflow=1,
         prune_cand=500, precision="default",
-        query_expand=2, fused_cand=16, fused_qt=128, query_block=qb,
+        query_expand=int(os.environ.get("PERF_E", 2)),
+        fused_cand=int(os.environ.get("PERF_C", 16)),
+        fused_qt=128, query_block=qb,
+        fused_sort_tiles=os.environ.get("PERF_SORT") == "1",
         entry_seeds=8, ef_search=ef,
         packed_dtype=pdt,
         index_filename=f"/tmp/perf_fused_idx_{n}.npz",
