@@ -85,6 +85,21 @@ def test_query_fused_i8_matches_bf16():
         assert len(set(valid.tolist())) == len(valid)
 
 
+def test_fused_i8_zero_distance_queries():
+    """Queries that EQUAL stored vectors produce exact-zero code-space
+    distances — the pack_keys floor path (zero would be a subnormal key
+    whose lane bits FTZ hardware could flush; ops/pallas_fused.py).  The
+    matching id must come back first with ~zero distance."""
+    rng = np.random.default_rng(9)
+    n, d, k = 500, 32, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    eng = _build(x, expand=2, cand=16, packed_dtype="i8")
+    probe = [3, 57, 211, 499]
+    ids = eng.query_k_batch(x[probe], k)
+    for want, row in zip(probe, ids):
+        assert int(row[0]) == want, (want, row)
+
+
 def test_fused_search_exact_on_full_beam():
     """With ef >= n, full candidate keep, and a complete adjacency, one
     expansion wave reaches everything: the beam must equal exact top-n."""
