@@ -24,7 +24,12 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from expann_tpu.models.base import Engine, ParamList, format_param
+from expann_tpu.models.base import (
+    Engine,
+    ParamList,
+    _concat_pending,
+    format_param,
+)
 from expann_tpu.models.build import BuildConfig, build_index
 from expann_tpu.models.graph import GraphIndex
 from expann_tpu.models.search import fused_query_batch, query_batch
@@ -165,7 +170,9 @@ class AntitopoEngine(Engine):
 
     # --- ingest ------------------------------------------------------------
     def store_vector(self, v: np.ndarray) -> None:
-        self._pending.append(np.asarray(v, dtype=np.float32).ravel())
+        self._pending.append(
+            np.asarray(v, dtype=np.float32).reshape(1, -1)
+        )
 
     def store_many_vectors(self, vs: np.ndarray, take_norms: bool = False) -> None:
         vs = np.asarray(vs, dtype=np.float32)
@@ -174,7 +181,10 @@ class AntitopoEngine(Engine):
         if take_norms:
             norms = np.linalg.norm(vs, axis=1, keepdims=True)
             vs = vs / np.maximum(norms, 1e-30)
-        self._pending.extend(vs)
+        # keep 2D blocks intact: extending row-by-row costs ~100B of
+        # array-object overhead per vector (gigabytes at 10M+ rows)
+        # and makes the build-time stack a 20M-element python loop
+        self._pending.append(vs)
 
     # --- build -------------------------------------------------------------
     def build(self) -> None:
@@ -202,7 +212,7 @@ class AntitopoEngine(Engine):
             # wave-batched inserts over the existing index.
             from expann_tpu.models.wavebuild import extend_index_wave
 
-            new_x = np.stack(self._pending).astype(np.float32)
+            new_x = _concat_pending(self._pending)
             self._pending = []
             assert new_x.shape[1] == self.dim, "dim mismatch on extend"
             bc = self._build_config()
@@ -212,7 +222,7 @@ class AntitopoEngine(Engine):
             self.n = self.graph.n
         else:
             assert self._pending, "no vectors stored"
-            x = np.stack(self._pending).astype(np.float32)
+            x = _concat_pending(self._pending)
             self._pending = []
             self.n, self.dim = x.shape
             self.graph = build_index(x, self._build_config())

@@ -18,6 +18,14 @@ import numpy as np
 ParamList = Dict[str, str]
 
 
+def _concat_pending(blocks: List[np.ndarray]) -> np.ndarray:
+    """Assemble stored vector blocks into one (N, D) f32 matrix without a
+    gratuitous copy when a single contiguous block was stored (the 10M+
+    row ingest path: a second 10GB host copy is real money there)."""
+    x = blocks[0] if len(blocks) == 1 else np.concatenate(blocks, axis=0)
+    return np.ascontiguousarray(x, dtype=np.float32)
+
+
 def format_param(value) -> str:
     """Render a param value the way the reference's add_param macro does
     (reference: src/ann_engine.h:10-14 uses std::to_string)."""

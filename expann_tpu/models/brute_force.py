@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from expann_tpu.models.base import Engine, ParamList
+from expann_tpu.models.base import Engine, ParamList, _concat_pending
 from expann_tpu.ops.distance import pad_dim, pairwise_dist2, squared_norms
 
 
@@ -89,7 +89,9 @@ class BruteForceEngine(Engine):
         return {}
 
     def store_vector(self, v: np.ndarray) -> None:
-        self._pending.append(np.asarray(v, dtype=np.float32).ravel())
+        self._pending.append(
+            np.asarray(v, dtype=np.float32).reshape(1, -1)
+        )
 
     def store_many_vectors(self, vs: np.ndarray, take_norms: bool = False) -> None:
         vs = np.asarray(vs, dtype=np.float32)
@@ -98,12 +100,15 @@ class BruteForceEngine(Engine):
         if take_norms:
             norms = np.linalg.norm(vs, axis=1, keepdims=True)
             vs = vs / np.maximum(norms, 1e-30)
-        self._pending.extend(vs)
+        # keep 2D blocks intact: extending row-by-row costs ~100B of
+        # array-object overhead per vector (gigabytes at 10M+ rows)
+        # and makes the build-time stack a 20M-element python loop
+        self._pending.append(vs)
 
     def build(self) -> None:
         assert self._pending or self._x is not None, "no vectors stored"
         if self._pending:
-            x = np.stack(self._pending).astype(np.float32)
+            x = _concat_pending(self._pending)
             self._pending = []
             self.n, self.dim = x.shape
             x = pad_dim(x)
