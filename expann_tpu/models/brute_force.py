@@ -33,7 +33,8 @@ def _rerank_exact(q, x, x_norms, cand_ids, k: int):
     Out-of-range ids (kernel sentinels) score +inf."""
     n = x.shape[0]
     safe = jnp.clip(cand_ids, 0, n - 1)
-    cv = x[safe]  # (B, m, D)
+    # rerank_store='bf16' keeps the corpus at 2 B/dim; score in f32
+    cv = x[safe].astype(jnp.float32)  # (B, m, D)
     cn = jnp.where((cand_ids >= 0) & (cand_ids < n), x_norms[safe], jnp.inf)
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     d2 = qn + cn - 2.0 * jnp.einsum(
@@ -59,6 +60,9 @@ class BruteForceEngine(Engine):
         (s8 MXU at 2x bf16 peak, half the HBM stream), scanning for
         ``rerank_mult * k`` candidates which are then exactly reranked in
         f32 — recall comparable to 'fused' at higher device throughput.
+        ``rerank_store='bf16'`` keeps the rerank corpus in bf16 (2 B/dim
+        instead of 4): a near-exact rerank that fits i8 codes + rerank
+        corpus for 20M x 128 in under 8GB HBM (tools/bench_bigflat.py).
     """
 
     def __init__(
@@ -67,7 +71,9 @@ class BruteForceEngine(Engine):
         precision: str = "highest",
         mode: str = "exact",
         rerank_mult: int = 3,
+        rerank_store: str = "f32",
     ):
+        self.rerank_store = rerank_store
         self._pending: List[np.ndarray] = []
         self._x = None
         self._x_norms = None
@@ -125,9 +131,16 @@ class BruteForceEngine(Engine):
                     self._i8_scale,
                     self._n_fused,
                 ) = quantize_corpus_i8(x)
-                # exact-rerank corpus
-                self._x = jnp.asarray(x)
-                self._x_norms = squared_norms(self._x)
+                # rerank corpus: exact f32, or near-exact bf16 at half
+                # the HBM (rerank_store='bf16' — the 10M+ row regime)
+                if self.rerank_store == "bf16":
+                    self._x = jnp.asarray(x, jnp.bfloat16)
+                    # norms on host: uploading the f32 corpus just to
+                    # square it would transiently double device memory
+                    self._x_norms = jnp.asarray((x * x).sum(axis=1))
+                else:
+                    self._x = jnp.asarray(x)
+                    self._x_norms = squared_norms(self._x)
             else:
                 self._x = jnp.asarray(x)
                 self._x_norms = squared_norms(self._x)

@@ -1,4 +1,5 @@
 import numpy as np
+import jax.numpy as jnp
 
 from expann_tpu.models.brute_force import BruteForceEngine
 
@@ -69,3 +70,19 @@ def test_brute_force_fused_i8_mode():
     want = _np_knn(q, x, 5)
     agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(got, want)])
     assert agree >= 0.97, f"fused_i8 agreement {agree}"
+
+
+def test_brute_force_fused_i8_bf16_rerank():
+    # i8 scan + NEAR-exact bf16 rerank corpus (2 B/dim — the 10M+ row
+    # single-chip HBM regime, tools/bench_bigflat.py)
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((512, 32)) * 3 + 1.5).astype(np.float32)
+    q = (rng.standard_normal((64, 32)) * 3 + 1.5).astype(np.float32)
+    eng = BruteForceEngine(mode="fused_i8", rerank_store="bf16")
+    eng.store_many_vectors(x)
+    eng.build()
+    assert eng._x.dtype == jnp.bfloat16
+    got = eng.query_k_batch(q, 5)
+    want = _np_knn(q, x, 5)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(got, want)])
+    assert agree >= 0.95, f"fused_i8 bf16-rerank agreement {agree}"

@@ -87,7 +87,13 @@ def main():
     q = rng.standard_normal((m, d)).astype(np.float32)
     gt = host_gt(x, q, k, cache=f"/tmp/bigflat_gt_{n}_{d}_{m}.npz")
 
-    eng = BruteForceEngine(mode=args.mode)
+    # i8 mode at 10M+ rows: bf16 rerank corpus (2 B/dim) keeps codes +
+    # rerank under 8GB HBM at n=20M
+    eng = BruteForceEngine(
+        mode=args.mode,
+        rerank_store="bf16" if (args.mode == "fused_i8" and n > 8_000_000)
+        else "f32",
+    )
     eng.store_many_vectors(x)
     t0 = time.time()
     eng.build()
