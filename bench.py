@@ -100,7 +100,40 @@ def _device_qps_flat(flat, k, Q=65536, reps=5):
     return Q / float(np.median(times))
 
 
+def _wait_for_device() -> None:
+    """Bounded wait for the TPU tunnel before touching jax in-process.
+
+    The axon tunnel has multi-hour outages during which the FIRST device
+    RPC blocks forever (CLAUDE.md).  Probing in a subprocess keeps this
+    process clean: poll once a minute for up to BENCH_DEVICE_WAIT_S
+    (default 3h), then proceed regardless (a still-down tunnel blocks at
+    first compile exactly as before — this preamble only ever helps)."""
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_DEVICE_WAIT_S", "10800"))
+    deadline = time.monotonic() + budget
+    probe = [sys.executable, "-c", "import jax; jax.devices()"]
+    while True:
+        try:
+            if subprocess.run(
+                probe, timeout=60, capture_output=True
+            ).returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                "bench.py: device probe still failing after "
+                f"{budget:.0f}s wait budget; proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        print("bench.py: waiting for TPU tunnel ...", file=sys.stderr)
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_device()
     quick = os.environ.get("BENCH_QUICK") == "1"
     n, m, d, k = (8000, 200, 128, 10) if quick else (56000, 400, 128, 10)
 
