@@ -306,7 +306,12 @@ def _fused_kernel(
             # rejected again, and one equal to an earlier-admitted one
             # must be suppressed regardless (reference visited-set
             # semantics, src/antitopo_engine.h:574-607).
-            b_ids0 = beam_ids  # pre-insertion membership for dup checks
+            # pre-insertion membership for dup checks, with the expanded
+            # flag stripped ONCE (selection may have flipped ids to ~id);
+            # per-candidate tests are then a single compare instead of
+            # (== cid) | (== ~cid) — E*TOPT fewer full-width compare+or
+            # pairs per iteration
+            b_abs0 = jnp.where(beam_ids < 0, ~beam_ids, beam_ids)
             cands = []  # per segment: ([(T,1) key...], [(T,1) cid...])
             for seg_d, seg_i in segs:
                 skey = pack_keys(seg_d, slane)
@@ -332,12 +337,9 @@ def _fused_kernel(
                 for e, (mcs, cids) in enumerate(cands):
                     for t in range(TOPT):
                         mc, cid = mcs[t], cids[t]
-                        # dup: vs the iteration-start beam (either sign:
-                        # selection may have flipped the expanded flag) ...
+                        # dup: vs the iteration-start beam ...
                         dup = jnp.max(
-                            ((b_ids0 == cid) | (b_ids0 == ~cid)).astype(
-                                jnp.int32
-                            ),
+                            (b_abs0 == cid).astype(jnp.int32),
                             axis=1,
                             keepdims=True,
                         )
