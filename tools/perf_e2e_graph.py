@@ -9,7 +9,7 @@ measured end-to-end here, not in-kernel microcosts.
 
 Usage: python tools/perf_e2e_graph.py [n] [ef] [Q1,Q2,...] [query_block] [packed_dtype]
 Env: PERF_E (query_expand, default 2), PERF_C (fused_cand, default 16),
-     PERF_SORT=1 (fused_sort_tiles on)
+     PERF_QT (fused_qt, default 128), PERF_SORT=1 (fused_sort_tiles on)
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def main():
         prune_cand=500, precision="default",
         query_expand=int(os.environ.get("PERF_E", 2)),
         fused_cand=int(os.environ.get("PERF_C", 16)),
-        fused_qt=128, query_block=qb,
+        fused_qt=int(os.environ.get("PERF_QT", 128)), query_block=qb,
         fused_sort_tiles=os.environ.get("PERF_SORT") == "1",
         entry_seeds=8, ef_search=ef,
         packed_dtype=pdt,
