@@ -237,6 +237,37 @@ def test_sort_tiles_is_order_identical():
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
 
 
+def test_sort_tiles_order_identical_i8():
+    """Same order-identity on the s8 code-space path: sort_tiles permutes
+    the QUANTIZED query array and the code-space seed beams; outputs must
+    still be unpermuted exactly."""
+    from expann_tpu.models.search import fused_query_batch
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((400, 64)).astype(np.float32)
+    cfg = AntitopoConfig(
+        M=8, ef_construction=48, use_packed=True, use_fused=True,
+        fused_qt=8, query_expand=2, fused_cand=8, precision="default",
+        packed_dtype="i8",
+    )
+    eng = AntitopoEngine(config=cfg)
+    eng.store_many_vectors(x)
+    eng.build()
+    eng._resolve_packed()
+    assert eng.graph.packed_codes is not None
+    q = jnp.asarray(
+        np.pad(rng.standard_normal((32, 64)).astype(np.float32), ((0, 0), (0, 64)))
+    )
+    a = fused_query_batch(
+        eng.graph, q, 24, 5, qt=8, interpret=True, sort_tiles=False
+    )
+    b = fused_query_batch(
+        eng.graph, q, 24, 5, qt=8, interpret=True, sort_tiles=True
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+
+
 def test_multi_seed_entry_scan_on_clustered_data():
     """On multi-basin (clustered) data, single greedy descent can trap the
     beam in the wrong cluster; the dense multi-seed entry scan
