@@ -72,7 +72,17 @@ class BruteForceEngine(Engine):
         mode: str = "exact",
         rerank_mult: int = 3,
         rerank_store: str = "f32",
+        topk_mode: str = "",
     ):
+        import os
+
+        # in-kernel merge strategy for the fused modes: "fixed" (k passes
+        # per corpus block) or "count" (count-then-loop packed-key passes,
+        # ops/pallas_topk._topk_merge_kernel_count); empty -> env override
+        # EXPANN_TOPK_MODE or "fixed"
+        self.topk_mode = (
+            topk_mode or os.environ.get("EXPANN_TOPK_MODE", "fixed")
+        )
         self.rerank_store = rerank_store
         self._pending: List[np.ndarray] = []
         self._x = None
@@ -187,6 +197,7 @@ class BruteForceEngine(Engine):
                 k=scan_k,
                 query_tile=tile,
                 interpret=interpret,
+                mode=self.topk_mode,
             )
             if i8:
                 qd = jnp.asarray(chunk.astype(ml_dtypes.bfloat16)).astype(

@@ -144,9 +144,144 @@ def _topk_merge_kernel(
     out_i_ref[:] = run_i[:]
 
 
+def _topk_merge_kernel_count(
+    q_ref,  # (Bt, D) VMEM (storage dtype)
+    x_ref,  # (G, D) VMEM (storage dtype)
+    out_d_ref,  # (Bt, k) f32
+    out_i_ref,  # (Bt, k) int32
+    run_k,  # scratch (Bt, k) f32 PACKED KEYS (value | slot index)
+    run_i,  # scratch (Bt, k) int32
+    *,
+    k: int,
+    G: int,
+    n_real: int,
+):
+    """Count-then-loop top-k merge (the ``mode='count'`` kernel).
+
+    The fixed-pass kernel above runs exactly ``k`` extract+insert passes
+    per (query tile, corpus block) grid step — ~5 cross-lane reductions
+    each — even though, with the corpus streamed in arbitrary order, a
+    late block almost never contributes to the running top-k (expected
+    insertions per block fall as k/j for block j).  This kernel:
+
+      * packs each candidate's (chunk, lane) index into the distance's
+        low mantissa bits (the packed-key trick from ops/pallas_fused.py:
+        one f32 reduction returns the extreme value AND its position;
+        <= 2^-13 relative clobber, below the bf16 corpus rounding),
+      * counts, with ONE reduction, how many pooled candidates beat the
+        running worst, and runs only ``min(count, k)`` extract+insert
+        passes (a dynamic-bound fori_loop).  ``count`` is taken against
+        the block-entry worst, which only tightens during insertion, so
+        the prefix property holds: insertions stop at the first failed
+        candidate (extraction is ascending), and at most k can succeed —
+        the bound is exact, never short.
+
+    Output distances carry the packed-key clobber (low bits zeroed) and
+    ties break by (clobbered distance, slot/id) rather than the fixed
+    kernel's exact (d, id) — both below the layer's documented bf16
+    approximation; the exact oracle remains BruteForceEngine('exact').
+    """
+    j = pl.program_id(1)
+    LANES = 128
+    nch = G // LANES
+    CB = max(1, (nch - 1).bit_length())
+    LB = 7 + CB  # lane (7 bits) | chunk (CB bits); slots reuse the low 7
+    LMASK = (1 << LB) - 1
+    KEYM = ~LMASK
+    INFP = float("inf")
+
+    def pack(d, idx):
+        db = jax.lax.bitcast_convert_type(
+            jnp.clip(d, 1.0e-35, 3.0e38), jnp.int32
+        )
+        return jax.lax.bitcast_convert_type((db & KEYM) | idx, jnp.float32)
+
+    def bits(v):
+        return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+    @pl.when(j == 0)
+    def _init():
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, run_k.shape, 1)
+        run_k[:] = pack(jnp.full(run_k.shape, NEG_BIG, jnp.float32), slot_col)
+        run_i[:] = jnp.int32(2**31 - 1) - slot_col
+
+    q = q_ref[:]
+    Bt = q.shape[0]
+    x = x_ref[:]
+    if q.dtype == jnp.int8:
+        dots = jax.lax.dot_general(
+            q, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qi = q.astype(jnp.int32)
+        qn = jnp.sum(qi * qi, axis=1, keepdims=True)
+        xi = x.astype(jnp.int32)
+        xn = jnp.sum(xi * xi, axis=1)[None, :]
+        dd = (qn + xn - 2 * dots).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            q, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qf = q.astype(jnp.float32)
+        qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+        xf = x.astype(jnp.float32)
+        xn = jnp.sum(xf * xf, axis=1)[None, :]
+        dd = qn + xn - 2.0 * dots
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, G), 1)
+    dd = jnp.where(j * G + col >= n_real, NEG_BIG, dd)
+
+    # pool to 128 lanes with the chunk index riding the key bits (same
+    # lane-pooling approximation as the fixed kernel)
+    lane7 = jax.lax.broadcasted_iota(jnp.int32, (Bt, LANES), 1)
+    pooled_k = pack(dd[:, :LANES], lane7)
+    for c in range(1, nch):
+        pooled_k = jnp.minimum(
+            pooled_k, pack(dd[:, c * LANES : (c + 1) * LANES], lane7 | (c << 7))
+        )
+
+    # one reduction each: the running worst and the insertable count
+    w0 = jnp.max(run_k[:], axis=1, keepdims=True)  # (Bt, 1) packed
+    cand_sat = jax.lax.bitcast_convert_type(
+        bits(pooled_k) | LMASK, jnp.float32
+    )  # ties lose to any slot (strict <)
+    counts = jnp.sum((cand_sat < w0).astype(jnp.int32), axis=1)
+    t = jnp.minimum(jnp.max(counts), k)  # scalar; prefix bound, see above
+
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, k), 1)
+
+    def body(_, pk):
+        kmin = jnp.min(pk, axis=1, keepdims=True)  # packed: value+chunk+lane
+        kb = bits(kmin)
+        lane_id = kb & 127
+        chunk_id = (kb & LMASK) >> 7
+        pos_id = j * G + chunk_id * LANES + lane_id  # (Bt, 1)
+        rk = run_k[:]
+        w = jnp.max(rk, axis=1, keepdims=True)  # packed: value+slot
+        ck_cmp = jax.lax.bitcast_convert_type(kb | LMASK, jnp.float32)
+        better = ck_cmp < w  # strict on the clobbered value
+        w_slot = bits(w) & LMASK
+        take = (slot_lane == w_slot) & better
+        new_k = jax.lax.bitcast_convert_type((kb & KEYM) | w_slot, jnp.float32)
+        run_k[:] = jnp.where(take, new_k, rk)
+        run_i[:] = jnp.where(take, pos_id, run_i[:])
+        # knock the extracted lane out (whole lane, as the fixed kernel)
+        return jnp.where(lane7 == lane_id, INFP, pk)
+
+    jax.lax.fori_loop(0, t, body, pooled_k)
+
+    # strip the slot bits: output distances are the clobbered values
+    out_d_ref[:] = jax.lax.bitcast_convert_type(
+        bits(run_k[:]) & KEYM, jnp.float32
+    )
+    out_i_ref[:] = run_i[:]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_real", "query_tile", "corpus_block", "interpret"),
+    static_argnames=(
+        "k", "n_real", "query_tile", "corpus_block", "interpret", "mode"
+    ),
 )
 def flat_topk(
     q: jax.Array,  # (B, D) f32
@@ -156,6 +291,7 @@ def flat_topk(
     query_tile: int = 256,
     corpus_block: int = 1024,
     interpret: bool = False,
+    mode: str = "fixed",  # "fixed" (k passes/block) | "count" (see kernel)
 ) -> Tuple[jax.Array, jax.Array]:
     """Near-exact k-NN of every query against the corpus: returns
     ``(ids, d2)`` of shape (B, k), ascending by (distance, id).  B must be
@@ -182,9 +318,10 @@ def flat_topk(
         qc = q.astype(x.dtype)
 
     grid = (B // query_tile, N_pad // corpus_block)
-    kernel = functools.partial(
-        _topk_merge_kernel, k=k, G=corpus_block, n_real=n_real
+    kfn = (
+        _topk_merge_kernel_count if mode == "count" else _topk_merge_kernel
     )
+    kernel = functools.partial(kfn, k=k, G=corpus_block, n_real=n_real)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -214,7 +351,10 @@ def flat_topk(
         ],
         interpret=interpret,
     )(qc, x)
-    out_d = jnp.where(out_d >= NEG_BIG, jnp.inf, jnp.maximum(out_d, 0.0))
+    # empty-slot test below NEG_BIG: count mode's packed keys zero the low
+    # mantissa bits, so the marker reads back slightly under 3e38; no real
+    # (clamped) distance approaches 1e38
+    out_d = jnp.where(out_d >= 1.0e38, jnp.inf, jnp.maximum(out_d, 0.0))
     # the kernel's running top-k is unsorted; (B, k) sort is negligible
     out_d, out_i = jax.lax.sort((out_d, out_i), num_keys=2)
     return out_i, out_d

@@ -73,7 +73,7 @@ def _gather_vec(vectors, norms, gid, n_shard: int):
     jax.jit,
     static_argnames=("C", "cap", "prune_overflow", "overflow_rows",
                      "n_shard", "n_total", "mesh", "precision", "reverse",
-                     "interpret"),
+                     "interpret", "topk_mode"),
     donate_argnums=(2, 3),
 )
 def _dist_wave_step(
@@ -84,6 +84,7 @@ def _dist_wave_step(
     xs_flat=None,
     n_total: int = 0,
     interpret: bool = False,
+    topk_mode: str = "fixed",
 ):
     """One fused distributed insert wave (single dispatch; adjacency and
     counts donated).  ``wave_q``: (W, D) replicated wave vectors;
@@ -154,7 +155,7 @@ def _dist_wave_step(
                     break
                 ids_s, d_s = flat_topk(
                     wq, xsb[s0:s1], n_real=s1 - s0, k=kk,
-                    interpret=interpret,
+                    interpret=interpret, mode=topk_mode,
                 )
                 parts.append((d_s, ids_s + s0))
             if len(parts) == 1:
@@ -372,6 +373,7 @@ def build_distributed(
     mode: str = "oneshot",
     candidates: str = "auto",
     verbose: bool = False,
+    topk_mode: str = "",
 ) -> Tuple[GraphIndex, dict]:
     """Build one global graph with mesh-parallel waves.  Returns the
     assembled single-graph ``GraphIndex`` plus a stats dict.
@@ -442,6 +444,10 @@ def build_distributed(
 
     if candidates == "auto":
         candidates = "flat" if (mode == "oneshot" and n_shard > 65536) else "dense"
+    if not topk_mode:
+        import os
+
+        topk_mode = os.environ.get("EXPANN_TOPK_MODE", "fixed")
     xs_flat = None
     interpret = jax.default_backend() not in ("tpu", "axon")
     if candidates == "flat":
@@ -484,6 +490,7 @@ def build_distributed(
             overflow_rows=128, n_shard=n_shard, mesh=mesh,
             precision=cfg.precision, reverse=(mode == "incremental"),
             xs_flat=xs_flat, n_total=n, interpret=interpret,
+            topk_mode=topk_mode,
         )
         if verbose:
             jax.block_until_ready(counts)

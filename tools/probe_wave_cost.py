@@ -97,6 +97,8 @@ def main():
     kk = min(C + 1, 128)
 
     interpret = jax.default_backend() not in ("tpu", "axon")
+    topk_mode = os.environ.get("EXPANN_TOPK_MODE", "fixed")
+    print(f"topk_mode={topk_mode}", flush=True)
 
     def cands_only():
         outs = []
@@ -108,7 +110,7 @@ def main():
             outs.append(
                 flat_topk(
                     wq, xs_flat[0, s0:s1], n_real=s1 - s0, k=kk,
-                    interpret=interpret,
+                    interpret=interpret, mode=topk_mode,
                 )
             )
         return outs
@@ -134,6 +136,7 @@ def main():
             overflow_rows=R, n_shard=n_shard, mesh=mesh,
             precision="default", reverse=False,
             xs_flat=xs_flat, n_total=n, interpret=interpret,
+            topk_mode=topk_mode,
         )
         return state["counts"]
 
