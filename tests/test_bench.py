@@ -129,3 +129,90 @@ def test_clustered_synthetic_generator():
         4000, 50, 32, n_clusters=40, sigma=0.3, seed=3, uniform=True
     )
     assert not np.allclose(x[:100], xu[:100])
+
+
+def _write_vecs(path, mat, as_int=False):
+    """Write fvecs/ivecs: each record (int32 d, d 4-byte items)
+    (reference: src/dataset_loader.h:96-125)."""
+    d = mat.shape[1]
+    with open(path, "wb") as f:
+        for row in mat:
+            np.int32(d).tofile(f)
+            (row.astype(np.int32) if as_int else row.astype(np.float32)).tofile(f)
+
+
+def test_cli_sift1m_end_to_end(tmp_path, monkeypatch):
+    """The reference's canonical SIFT run, end-to-end through the CLI on
+    tiny in-image fvecs/ivecs files: `main --dataset Sift1M` loads
+    datasets/sift/*.{fvecs,ivecs}, runs the sweep, and persists
+    reference-schema records to ./data/<ds>/data/{all,latest}.json
+    (reference: src/main.cpp:72-106).  The job grid is shrunk to two tiny
+    configs so the test runs on CPU; the file formats, loader path, runner,
+    scoring, and persistence layout are the real ones."""
+    import expann_tpu.bench.runner as runner
+    from expann_tpu.cli import main
+    from expann_tpu.models.antitopo import AntitopoConfig
+
+    rng = np.random.default_rng(7)
+    n, m, d, k = 400, 20, 16, 10
+    # clustered (easy-ANN) data so the recall floor is robust for both the
+    # exact and the quantized job on a tiny config
+    centers = rng.standard_normal((40, d)).astype(np.float32)
+    base = (
+        centers[rng.integers(0, 40, n)]
+        + 0.15 * rng.standard_normal((n, d))
+    ).astype(np.float32)
+    queries = (
+        centers[rng.integers(0, 40, m)]
+        + 0.15 * rng.standard_normal((m, d))
+    ).astype(np.float32)
+    d2 = ((queries[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    sift_dir = tmp_path / "datasets" / "sift"
+    sift_dir.mkdir(parents=True)
+    _write_vecs(str(sift_dir / "sift_base.fvecs"), base)
+    _write_vecs(str(sift_dir / "sift_query.fvecs"), queries)
+    _write_vecs(str(sift_dir / "sift_groundtruth.ivecs"), gt, as_int=True)
+    monkeypatch.chdir(tmp_path)
+
+    def tiny_grid(index_dir="index"):
+        jobs = []
+        for use_compression in (False, True):
+            jobs.append(
+                AntitopoConfig(
+                    M=6,
+                    M0=12,
+                    ef_search_mult=3,
+                    ef_construction=24,
+                    prune_cand=24,
+                    use_compression=use_compression,
+                    index_filename=f"{index_dir}/sift_tiny",
+                    read_index=True,
+                    write_index=True,
+                )
+            )
+        return jobs
+
+    monkeypatch.setattr(runner, "canonical_job_grid", tiny_grid)
+    rc = main(["--dataset", "Sift1M", "--k", str(k), "--ds_name", "sift_tiny"])
+    assert rc == 0
+
+    for fname in ("latest.json", "all.json"):
+        with open(tmp_path / "data" / "sift_tiny" / "data" / fname) as f:
+            recs = json.load(f)
+        assert len(recs) == 2
+        for r in recs:
+            assert set(r.keys()) >= {
+                "time_per_query_ns",
+                "time_to_build_ns",
+                "recall",
+                "engine_name",
+                "param_list",
+            }
+            # tiny config on easy data: sanity recall floor, exact schema
+            assert r["recall"] > 0.4, r
+            assert r["engine_name"] == "Anti-Topo Engine+"
+    # the sweep wrote the index file for build reuse (reference
+    # src/bench_runner.h:149-158 scheme)
+    assert (tmp_path / "index" / "sift_tiny").exists()
