@@ -162,6 +162,19 @@ def main() -> None:
     # e2e jitter (BENCH_NOTES "tunnel-load variance")
     flat_dev_qps = _device_qps_flat(flat, k, Q=16384 if quick else 65536)
 
+    # --- TPU-Flat i8 wire: s8 codes on the wire (1 B/dim), s8 MXU scan,
+    # on-device dequantized-query rerank.  With the count-mode merge the
+    # device scan runs ~1.1M QPS and e2e is bound by the host<->device
+    # query transfer, so wire bytes are the e2e lever (models/brute_force
+    # query_wire='i8').
+    if not quick:
+        flat8 = BruteForceEngine(mode="fused_i8", query_wire="i8")
+        flat8.store_many_vectors(ds.vecs)
+        flat8.build()
+        rec8 = _recall(flat8.query_k_batch(ds.queries, k), gt_sets, k)
+        qps8, best8 = _qps(flat8, d, k, Q=65536)
+        points.append(("tpu_flat_i8", rec8, qps8, n, best8))
+
     # --- Anti-Topo graph engine ---
     # prune_overflow=1 and full-width prune candidates sit inside the
     # reference's own sweep grid (src/bench_runner.h:133-163) and give the

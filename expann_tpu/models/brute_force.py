@@ -27,10 +27,7 @@ def _exact_topk(q, x, x_norms, k: int, precision: str = "highest"):
     return idx, -neg_d
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _rerank_exact(q, x, x_norms, cand_ids, k: int):
-    """Exact f32 rerank of per-query candidate ids: gather, score, top-k.
-    Out-of-range ids (kernel sentinels) score +inf."""
+def _rerank_body(q, x, x_norms, cand_ids, k: int):
     n = x.shape[0]
     safe = jnp.clip(cand_ids, 0, n - 1)
     # rerank_store='bf16' keeps the corpus at 2 B/dim; score in f32
@@ -42,6 +39,25 @@ def _rerank_exact(q, x, x_norms, cand_ids, k: int):
     )
     d2, ids = jax.lax.sort((d2, cand_ids), num_keys=1)
     return ids[:, :k], d2[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_exact(q, x, x_norms, cand_ids, k: int):
+    """Exact f32 rerank of per-query candidate ids: gather, score, top-k.
+    Out-of-range ids (kernel sentinels) score +inf."""
+    return _rerank_body(q, x, x_norms, cand_ids, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_dequant(qk, center, inv_scale, x, x_norms, cand_ids, k: int):
+    """Rerank against the DEQUANTIZED i8 query (``query_wire='i8'``): the
+    host ships 1 B/dim and the f32 rerank query is reconstructed on device
+    as ``codes * inv_scale + center``.  The rerank corpus stays exact, so
+    the only error vs ``_rerank_exact`` is the query's quantization noise
+    (|err| <= 0.5/scale per dim) — measured recall parity at k=10 on the
+    canonical synthetic config (BENCH_NOTES)."""
+    qd = qk.astype(jnp.float32) * inv_scale + center[None, :]
+    return _rerank_body(qd, x, x_norms, cand_ids, k)
 
 
 class BruteForceEngine(Engine):
@@ -73,17 +89,24 @@ class BruteForceEngine(Engine):
         rerank_mult: int = 3,
         rerank_store: str = "f32",
         topk_mode: str = "",
+        query_wire: str = "bf16",
     ):
         import os
 
-        # in-kernel merge strategy for the fused modes: "fixed" (k passes
-        # per corpus block) or "count" (count-then-loop packed-key passes,
-        # ops/pallas_topk._topk_merge_kernel_count); empty -> env override
-        # EXPANN_TOPK_MODE or "fixed"
+        # in-kernel merge strategy for the fused modes: "count"
+        # (count-then-loop packed-key passes, the default — measured 9.3x
+        # at k=10 / 70x at k=128 over "fixed" on v5e, recall parity) or
+        # "fixed" (k passes per corpus block); empty -> env override
+        # EXPANN_TOPK_MODE or "count"
         self.topk_mode = (
-            topk_mode or os.environ.get("EXPANN_TOPK_MODE", "fixed")
+            topk_mode or os.environ.get("EXPANN_TOPK_MODE", "count")
         )
         self.rerank_store = rerank_store
+        # fused_i8 wire format for queries: "bf16" ships codes + a bf16
+        # copy for the exact-query rerank (3 B/dim); "i8" ships codes only
+        # (1 B/dim) and reranks against the on-device dequantized query —
+        # the e2e choice when the host<->device link is the bottleneck
+        self.query_wire = query_wire
         self._pending: List[np.ndarray] = []
         self._x = None
         self._x_norms = None
@@ -91,6 +114,8 @@ class BruteForceEngine(Engine):
         self._n_fused = 0
         self._i8_center = None
         self._i8_scale = 1.0
+        self._i8_center_dev = None
+        self._i8_inv_scale = None
         self.n = 0
         self.dim = 0
         self.batch_size = batch_size
@@ -141,6 +166,10 @@ class BruteForceEngine(Engine):
                     self._i8_scale,
                     self._n_fused,
                 ) = quantize_corpus_i8(x)
+                self._i8_center_dev = jnp.asarray(
+                    self._i8_center, jnp.float32
+                )
+                self._i8_inv_scale = jnp.float32(1.0 / self._i8_scale)
                 # rerank corpus: exact f32, or near-exact bf16 at half
                 # the HBM (rerank_store='bf16' — the 10M+ row regime)
                 if self.rerank_store == "bf16":
@@ -200,10 +229,18 @@ class BruteForceEngine(Engine):
                 mode=self.topk_mode,
             )
             if i8:
-                qd = jnp.asarray(chunk.astype(ml_dtypes.bfloat16)).astype(
-                    jnp.float32
-                )
-                ids, _ = _rerank_exact(qd, self._x, self._x_norms, ids, k=k)
+                if self.query_wire == "i8":
+                    ids, _ = _rerank_dequant(
+                        qk, self._i8_center_dev, self._i8_inv_scale,
+                        self._x, self._x_norms, ids, k=k,
+                    )
+                else:
+                    qd = jnp.asarray(
+                        chunk.astype(ml_dtypes.bfloat16)
+                    ).astype(jnp.float32)
+                    ids, _ = _rerank_exact(
+                        qd, self._x, self._x_norms, ids, k=k
+                    )
             pending.append((ids, real))
         return np.concatenate(
             [np.asarray(ids)[:real] for ids, real in pending], axis=0

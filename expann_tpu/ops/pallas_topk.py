@@ -291,7 +291,7 @@ def flat_topk(
     query_tile: int = 256,
     corpus_block: int = 1024,
     interpret: bool = False,
-    mode: str = "fixed",  # "fixed" (k passes/block) | "count" (see kernel)
+    mode: str = "count",  # "count" (count-then-loop, default) | "fixed"
 ) -> Tuple[jax.Array, jax.Array]:
     """Near-exact k-NN of every query against the corpus: returns
     ``(ids, d2)`` of shape (B, k), ascending by (distance, id).  B must be

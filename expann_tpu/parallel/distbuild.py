@@ -84,7 +84,7 @@ def _dist_wave_step(
     xs_flat=None,
     n_total: int = 0,
     interpret: bool = False,
-    topk_mode: str = "fixed",
+    topk_mode: str = "count",
 ):
     """One fused distributed insert wave (single dispatch; adjacency and
     counts donated).  ``wave_q``: (W, D) replicated wave vectors;
@@ -447,7 +447,7 @@ def build_distributed(
     if not topk_mode:
         import os
 
-        topk_mode = os.environ.get("EXPANN_TOPK_MODE", "fixed")
+        topk_mode = os.environ.get("EXPANN_TOPK_MODE", "count")
     xs_flat = None
     interpret = jax.default_backend() not in ("tpu", "axon")
     if candidates == "flat":

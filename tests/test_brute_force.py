@@ -88,6 +88,23 @@ def test_brute_force_fused_i8_bf16_rerank():
     assert agree >= 0.95, f"fused_i8 bf16-rerank agreement {agree}"
 
 
+def test_brute_force_fused_i8_query_wire():
+    # query_wire='i8': 1 B/dim on the wire, rerank against the on-device
+    # DEQUANTIZED query (models/brute_force._rerank_dequant) — the e2e
+    # serving configuration when the host<->device link is the bottleneck
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((512, 32)) * 3 + 1.5).astype(np.float32)
+    q = (rng.standard_normal((64, 32)) * 3 + 1.5).astype(np.float32)
+    eng = BruteForceEngine(mode="fused_i8", query_wire="i8")
+    eng.store_many_vectors(x)
+    eng.build()
+    got = eng.query_k_batch(q, 5)
+    assert all(len(set(row.tolist())) == 5 for row in got), "dup answers"
+    want = _np_knn(q, x, 5)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(got, want)])
+    assert agree >= 0.93, f"fused_i8 i8-wire agreement {agree}"
+
+
 def test_flat_topk_count_mode_parity():
     """mode='count' (count-then-loop, packed-key passes) must reproduce
     mode='fixed' — same id sets (both share the lane-pooling

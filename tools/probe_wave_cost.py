@@ -38,13 +38,16 @@ from expann_tpu.utils import runtime  # noqa: F401  (compile cache)
 
 
 def timeit(fn, reps=3):
+    """fn(rep) -> value.  Each rep MUST see different input data — the
+    axon executor dedups identical dispatches and reports ~0s (CLAUDE.md);
+    the 2026-08-18 queue run's 0.001 s/wave numbers were exactly this."""
     import jax
 
-    jax.block_until_ready(fn())  # compile
+    jax.block_until_ready(fn(0))  # compile
     ts = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        jax.block_until_ready(fn(r + 1))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -87,7 +90,11 @@ def main():
     norms = jnp.asarray((x * x).sum(1)[None])
     adj = jnp.full((S, n_shard + 1, R), GSENT, jnp.int32)
     counts = jnp.zeros((S, n_shard + 1), jnp.int32)
-    wq = jnp.asarray(wq_h)
+    # one wave-query batch per rep (distinct rows defeat dispatch dedup)
+    wqs = [
+        jnp.asarray(x[r * W : (r + 1) * W] if (r + 1) * W <= n else wq_h)
+        for r in range(5)
+    ]
     gids = jnp.arange(W, dtype=jnp.int32)
 
     # (a) segmented flat_topk candidates, as per_shard_flat issues them
