@@ -19,6 +19,7 @@ src/antitopo_engine.h:125-129); both reset on ``build`` and on
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -88,6 +89,14 @@ class AntitopoConfig:
     use_fused: object = "auto"
     fused_cand: int = 16
     fused_qt: int = 128
+    # in-kernel merge mode for the fused traversal: "topt" (top-cand/E
+    # candidates per segment offered, the default) or "count"
+    # (count-then-loop: ALL RS neighbours of each expanded node offered —
+    # the reference's uncapped heap semantics — but only min(count, ef)
+    # insertion passes actually run; measured SLOWER at equal recall on
+    # v5e, see ops/pallas_fused.py).  Empty -> EXPANN_FUSED_MERGE env
+    # or "topt".
+    fused_merge: str = ""
     # order queries within a batch by entry-seed distance before tiling
     # (a tile runs until its slowest query converges; grouping similar-
     # difficulty queries cuts the per-tile straggler max — results are
@@ -469,6 +478,8 @@ class AntitopoEngine(Engine):
                     precision=self.cfg.precision,
                     interpret=interpret,
                     sort_tiles=self.cfg.fused_sort_tiles,
+                    merge=self.cfg.fused_merge
+                    or os.environ.get("EXPANN_FUSED_MERGE", "topt"),
                 )
             else:
                 # the per-iteration packed kernel scores raw blocks against

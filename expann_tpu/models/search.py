@@ -474,6 +474,7 @@ def query_batch(
         "precision",
         "interpret",
         "sort_tiles",
+        "merge",
     ),
 )
 def fused_query_batch(
@@ -489,6 +490,7 @@ def fused_query_batch(
     precision: str = "default",
     interpret: bool = False,
     sort_tiles: bool = False,  # order queries by entry distance (straggler cut)
+    merge: str = "topt",  # in-kernel merge mode (ops/pallas_fused.py)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full batched query through the fully fused single-kernel traversal
     (ops/pallas_fused.py): greedy upper-layer descent, then the ENTIRE
@@ -613,6 +615,7 @@ def fused_query_batch(
         cand=cand,
         qt=qt,
         interpret=interpret,
+        merge=merge,
     )
     if inv is not None:
         beam_ids, ncomp_rows = beam_ids[inv], ncomp_rows[inv]

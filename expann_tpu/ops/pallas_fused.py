@@ -85,6 +85,7 @@ def _fused_kernel(
     TOPT: int,
     RS: int,
     SENTINEL: int,
+    MERGE: str = "topt",  # "topt" (top-cand/E per segment) | "count"
     DBG: str = "",  # dev cost-probes, see tools/probe_fused_cost.py
 ):
     T, D = q_ref.shape
@@ -293,7 +294,98 @@ def _fused_kernel(
                 ids_e = decode_ids_f32(abuf[:, e, 1, :RS])
                 segs.append((nrm_e + qn - 2.0 * dots[e], ids_e))
 
-        if "skip_merge" not in DBG:
+        if "skip_merge" not in DBG and MERGE == "count":
+            # --- count-then-loop merge (the flat kernel's trick, applied
+            # to the traversal): instead of unconditionally extracting the
+            # top TOPT candidates per segment (2 reductions each) and
+            # running E*TOPT insertion passes (~2 more reductions each),
+            # count with ONE reduction how many of the segment's RS
+            # candidates beat the segment-entry beam worst, and run only
+            # min(count, ef_live) extract+insert passes.  Prefix bound:
+            # counted candidates are exactly those below the entry worst,
+            # extraction is ascending so they come out first, the running
+            # worst only tightens, and (flat-kernel argument) at most
+            # ef_live insertions can succeed per segment.
+            #
+            # MEASURED SLOWER than "topt" on v5e (56k i8, ef=100, equal
+            # recall 0.9495/0.9497): 46.2k vs 77.4k QPS at qt=128, 37.7k
+            # vs 83.6k at qt=32 — unlike the flat scan (where most
+            # corpus blocks have count=0 and the dynamic loop almost
+            # never runs), every traversal iteration inserts for SOME
+            # query in the tile, so the dynamic-bound fori_loop's serial
+            # per-pass overhead is paid constantly while the unrolled
+            # "topt" chain pipelines.  Kept as a tested option because it
+            # implements the reference's uncapped-offer heap semantics;
+            # the identical measured recall shows the cand=16 quota
+            # loses nothing at reference scale (BENCH_NOTES round 3).
+            #
+            # This mode offers ALL RS neighbours of each expanded node —
+            # the REFERENCE's semantics (every neighbour is pushed to the
+            # heap, src/antitopo_engine.h:645-688) — whereas "topt" caps
+            # offers at cand/E per segment (COMPONENTS.md extraction-quota
+            # divergence, now only in the legacy mode).  Dup checks run
+            # against the RUNNING beam ids, which is exhaustive here: an
+            # inserted duplicate is caught by the id compare; a candidate
+            # equal to an earlier REJECTED one fails the same strict-<
+            # (the running worst is non-increasing); and an evicted id can
+            # never re-enter (its value equalled the then-worst, and the
+            # worst only got smaller).
+            b_abs = jnp.where(beam_ids < 0, ~beam_ids, beam_ids)
+            for seg_d, seg_i in segs:
+                skey = pack_keys(seg_d, slane)
+                w0 = jnp.max(
+                    jnp.where(live, beam_k, -INF), axis=1, keepdims=True
+                )
+                sat = jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(skey, jnp.int32) | LMASK,
+                    jnp.float32,
+                )
+                counts = jnp.sum(
+                    ((sat < w0) & (done == 0)).astype(jnp.int32), axis=1
+                )
+                trip = jnp.minimum(jnp.max(counts), ef_live)
+
+                def _pass(_, st, seg_i=seg_i):
+                    skey, beam_k, beam_ids, b_abs = st
+                    kmin = jnp.min(skey, axis=1, keepdims=True)
+                    smask = slane == key_lane(kmin)
+                    cid = jnp.min(
+                        jnp.where(smask, seg_i, BIG), axis=1, keepdims=True
+                    )
+                    skey = jnp.where(smask, INF, skey)
+                    dup = jnp.max(
+                        (b_abs == cid).astype(jnp.int32),
+                        axis=1,
+                        keepdims=True,
+                    )
+                    kmax = jnp.max(
+                        jnp.where(live, beam_k, -INF), axis=1, keepdims=True
+                    )
+                    w_lane = key_lane(kmax)
+                    mci = (
+                        jax.lax.bitcast_convert_type(kmin, jnp.int32) & KEYM
+                    )
+                    ck_cmp = jax.lax.bitcast_convert_type(
+                        mci | LMASK, jnp.float32
+                    )
+                    new_k = jax.lax.bitcast_convert_type(
+                        mci | w_lane, jnp.float32
+                    )
+                    repl = (
+                        (lane == w_lane)
+                        & (ck_cmp < kmax)
+                        & (dup == 0)
+                        & (done == 0)
+                    )
+                    beam_k = jnp.where(repl, new_k, beam_k)
+                    beam_ids = jnp.where(repl, cid, beam_ids)
+                    b_abs = jnp.where(repl, cid, b_abs)
+                    return skey, beam_k, beam_ids, b_abs
+
+                skey, beam_k, beam_ids, b_abs = jax.lax.fori_loop(
+                    0, trip, _pass, (skey, beam_k, beam_ids, b_abs)
+                )
+        elif "skip_merge" not in DBG:
             # --- merge: packed-key extract-min, packed-key replace-max ---
             # Extraction: one f32 min reduction per candidate gives value
             # AND lane (packed key); a second gives its id.  Insertion:
@@ -409,7 +501,7 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("expand", "cand", "qt", "interpret", "dbg"),
+    static_argnames=("expand", "cand", "qt", "interpret", "merge", "dbg"),
 )
 def fused_search(
     packed: jax.Array,  # (N+1, RS, D) storage dtype
@@ -423,6 +515,7 @@ def fused_search(
     max_iters=0,  # int or int32 scalar; <=0 means 8*ef+16
     qt: int = QT,
     interpret: bool = False,
+    merge: str = "topt",  # "topt" | "count" (see _fused_kernel)
     dbg: str = "",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run the whole bottom-layer beam search in one Pallas kernel.
@@ -469,6 +562,7 @@ def fused_search(
             TOPT=TOPT,
             RS=RS,
             SENTINEL=sentinel,
+            MERGE=merge,
             DBG=dbg,
         ),
         grid=grid,

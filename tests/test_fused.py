@@ -100,7 +100,8 @@ def test_fused_i8_zero_distance_queries():
         assert int(row[0]) == want, (want, row)
 
 
-def test_fused_search_exact_on_full_beam():
+@pytest.mark.parametrize("merge", ["topt", "count"])
+def test_fused_search_exact_on_full_beam(merge):
     """With ef >= n, full candidate keep, and a complete adjacency, one
     expansion wave reaches everything: the beam must equal exact top-n."""
     rng = np.random.default_rng(5)
@@ -130,7 +131,7 @@ def test_fused_search_exact_on_full_beam():
     bi0 = jnp.full((B, EF), n, jnp.int32).at[:, 0].set(0)
     ids, dists, ncomp, iters = fused_search(
         packed, aux, qp, bd0, bi0, ef=ef, expand=1, cand=64,
-        qt=8, interpret=True,
+        qt=8, interpret=True, merge=merge,
     )
     ids = np.asarray(ids)
     d2 = ((q[:, None] - x[None]) ** 2).sum(-1)
@@ -151,12 +152,15 @@ def test_fused_search_exact_on_full_beam():
     assert int(np.asarray(ncomp).sum()) > 0
 
 
-def test_fused_search_dedup_under_maximal_overlap():
-    """Adversarial dedup check for the merge's off-chain dup logic: on a
-    COMPLETE graph with expand=2 both expanded blocks offer the SAME
-    candidate list every iteration (maximal cross-segment duplication),
-    and every iteration re-offers nodes already in the beam.  The beam
-    must stay duplicate-free and still converge to the exact top-n."""
+@pytest.mark.parametrize("merge", ["topt", "count"])
+def test_fused_search_dedup_under_maximal_overlap(merge):
+    """Adversarial dedup check for the merge's dup logic: on a COMPLETE
+    graph with expand=2 both expanded blocks offer the SAME candidate
+    list every iteration (maximal cross-segment duplication), and every
+    iteration re-offers nodes already in the beam.  The beam must stay
+    duplicate-free and still converge to the exact top-n.  Exercises
+    both the "topt" off-chain dup checks and the "count" running-beam
+    dup checks (ops/pallas_fused.py)."""
     rng = np.random.default_rng(17)
     n, d = 60, 32
     x = rng.standard_normal((n, d)).astype(np.float32)
@@ -181,7 +185,7 @@ def test_fused_search_dedup_under_maximal_overlap():
     # each iteration, so the beam must converge to the entire corpus
     ids, dists, _, _ = fused_search(
         packed, aux, qp, bd0, bi0, ef=ef, expand=2, cand=256,
-        qt=8, interpret=True,
+        qt=8, interpret=True, merge=merge,
     )
     ids = np.asarray(ids)
     for b in range(B):
@@ -195,7 +199,7 @@ def test_fused_search_dedup_under_maximal_overlap():
     # neighbour push) — the beam may stall early but must stay dup-free
     ids, _, _, _ = fused_search(
         packed, aux, qp, bd0, bi0, ef=ef, expand=2, cand=16,
-        qt=8, interpret=True,
+        qt=8, interpret=True, merge=merge,
     )
     ids = np.asarray(ids)
     for b in range(B):
@@ -266,6 +270,43 @@ def test_sort_tiles_order_identical_i8():
     )
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+
+
+def test_fused_count_merge_engine_recall():
+    """Engine-level A/B of the merge modes: "count" offers ALL neighbours
+    of each expanded node (the reference's heap semantics) instead of the
+    top cand/E per segment, so at equal ef its recall must match or beat
+    the quota-capped "topt" mode within noise, and results stay dup-free."""
+    rng = np.random.default_rng(11)
+    n, d, k = 800, 32, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((40, d)).astype(np.float32)
+    d2 = ((queries[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, gt)])
+
+    def build(merge):
+        cfg = AntitopoConfig(
+            M=12, ef_construction=60, ef_search=40, query_expand=2,
+            use_packed=True, use_fused=True, fused_qt=8, fused_cand=8,
+            fused_merge=merge, seed=0,
+        )
+        eng = AntitopoEngine(config=cfg)
+        eng.store_many_vectors(x)
+        eng.build()
+        return eng
+
+    r_topt = recall(build("topt").query_k_batch(queries, k))
+    count_eng = build("count")
+    ids = count_eng.query_k_batch(queries, k)
+    r_count = recall(ids)
+    assert r_count >= r_topt - 0.02, (r_count, r_topt)
+    for row in ids:
+        valid = row[(row >= 0) & (row < n)]
+        assert len(set(valid.tolist())) == len(valid)
+    assert count_eng.num_distcomps > 0
 
 
 def test_multi_seed_entry_scan_on_clustered_data():
