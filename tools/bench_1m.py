@@ -49,8 +49,11 @@ def main():
                     default="gaussian")
     args = ap.parse_args()
     global IDX, GT
-    IDX = f"/tmp/expann_1m_idx_M{args.M}_{args.data}.npz"
-    GT = f"/tmp/expann_1m_gt_{args.data}.npz"
+    # n tag keeps non-1M runs (e.g. the 2M crossover demo) from
+    # colliding with the canonical 1M cache files
+    ntag = "" if args.n == 1_000_000 else f"_n{args.n}"
+    IDX = f"/tmp/expann_1m_idx_M{args.M}_{args.data}{ntag}.npz"
+    GT = f"/tmp/expann_1m_gt_{args.data}{ntag}.npz"
 
     import jax.numpy as jnp
 
