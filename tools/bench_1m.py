@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
+    # build + save the index npz, then exit (no GT, no serving sweeps) —
+    # for rebuilding the /tmp index caches that tools/perf_latency.py loads
+    ap.add_argument("--build-only", action="store_true")
     # M=32 (M0=64): the strongest graph whose s8 packed layout fits 16GB
     # HBM at N=1M; efc caps at 127 (flat_topk candidate extraction k<=128)
     ap.add_argument("--M", type=int, default=32)
@@ -76,7 +79,9 @@ def main():
         x, queries = generate_synthetic(n, m, d, seed=0)
 
     # ---- exact ground truth ----
-    if os.path.exists(GT):
+    if args.build_only:
+        gt = None
+    elif os.path.exists(GT):
         gt = np.load(GT)["gt"]
     else:
         t0 = time.perf_counter()
@@ -88,7 +93,7 @@ def main():
         np.savez(GT, gt=gt)
         del bf
 
-    gt_sets = [set(int(v) for v in row) for row in gt]
+    gt_sets = None if gt is None else [set(int(v) for v in row) for row in gt]
 
     def recall(ids):
         return float(
@@ -118,6 +123,10 @@ def main():
         del graph
         results.append({"point": "build", "build_s": round(build_s, 1),
                         "n": n, **stats})
+
+    if args.build_only:
+        print(f"build-only: index saved to {IDX}", flush=True)
+        return
 
     # ---- graph query pareto (fused traversal; ef <= 128 reuses ONE
     # compile since ef is a runtime scalar, ef=160 compiles the 256-wide

@@ -237,20 +237,46 @@ def run_graph(scale: str, Bs):
         bd0 = jnp.full((B, 128), np.inf, jnp.float32).at[:, :8].set(-neg_d)
         bi0 = jnp.full((B, 128), sentinel, jnp.int32).at[:, :8].set(sids)
 
-        def traverse(q):
-            if center is not None:
-                qk = jnp.clip(jnp.round((q - center) * qscale), -127.0, 127.0)
-            else:
-                qk = q
-            ids, _, _, _ = fused_search(
-                g.packed, g.packed_aux, qk, bd0, bi0,
-                ef=jnp.int32(100), expand=2, cand=16, qt=qt,
+        # The packed corpus must be a jit OPERAND, not a closure capture:
+        # closed-over device arrays are embedded as HLO constants and the
+        # serialized program exceeds this host's remote-compile-server
+        # request limit (HTTP 413) at corpus scale.
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("qt_",))
+        def _trav_chain(reps, packed, auxb, vecs, nrm, bd, bi, qb_, qt_):
+            def search(q):
+                if center is not None:
+                    qk = jnp.clip(
+                        jnp.round((q - center) * qscale), -127.0, 127.0
+                    )
+                else:
+                    qk = q
+                ids, _, _, _ = fused_search(
+                    packed, auxb, qk, bd, bi,
+                    ef=jnp.int32(100), expand=2, cand=16, qt=qt_,
+                )
+                rids, _ = _rerank_body(q, vecs, nrm, ids, 10)
+                return (rids.sum() % 1024).astype(jnp.float32) * 1e-3
+
+            def body(_, carry):
+                c, acc = carry
+                c2 = search(qb_ + c * 1e-6)
+                return (c2, acc + c2)
+
+            _, acc = jax.lax.fori_loop(
+                0, reps, body, (jnp.float32(0.0), jnp.float32(0.0))
             )
-            rids, _ = _rerank_body(q, g.vectors, g.norms, ids, 10)
-            return (rids.sum() % 1024).astype(jnp.float32) * 1e-3
+            return acc
+
+        def trav_run(reps):
+            return _trav_chain(
+                reps, g.packed, g.packed_aux, g.vectors, g.norms,
+                bd0, bi0, qb, qt_=qt,
+            )
 
         _measure(_chain(entry_probe, qb, B), "graph:entry", B)
-        _measure(_chain(traverse, qb, B), "graph:trav", B)
+        _measure(trav_run, "graph:trav", B)
 
 
 def main():
