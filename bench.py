@@ -12,10 +12,16 @@ recall@10 >= 0.95:
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot be
-built in this image (empty Eigen/pybind11 submodules, no network), so the
-baseline is the documented estimate in BENCH_NOTES.md: ~10,000 QPS
-single-core for expANN-class engines at recall@10 ~= 0.95 on n=56k d=128.
-vs_baseline = best_qps / 10,000.
+built in this image (empty Eigen/pybind11 submodules, no network).  The
+denominator is MEASURED on this host instead: a single-core C++
+re-implementation of the reference's serving loop (greedy descent +
+bottom-layer beam search + autovectorized AVX-512 L2, reference
+src/antitopo_engine.h:497-688,854-903) over the same built 56k graph does
+587.2 QPS at recall@10 = 0.952 (ef=100) — native/baseline_search.cpp,
+methodology in BASELINE.md "Measured baseline".  The round-1..3 10k-QPS
+engineering ESTIMATE (which assumed a modern multi-GHz desktop core rather
+than this host's 1-core 2.1GHz Xeon) is still reported alongside as
+vs_baseline_est10k for cross-round comparability.
 """
 
 from __future__ import annotations
@@ -29,7 +35,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_QPS_EST = 10_000.0
+BASELINE_QPS_EST = 10_000.0  # round-1..3 engineering estimate (see docstring)
+BASELINE_QPS_MEASURED = 587.2  # native/baseline_search.cpp @ recall 0.952
 RECALL_TARGET = 0.95
 
 
@@ -246,7 +253,8 @@ def main() -> None:
         "metric": f"synthetic n={n} d=128 best QPS at recall@10>={RECALL_TARGET}",
         "value": round(best[2], 1),
         "unit": "qps",
-        "vs_baseline": round(best[2] / BASELINE_QPS_EST, 3),
+        "vs_baseline": round(best[2] / BASELINE_QPS_MEASURED, 3),
+        "vs_baseline_est10k": round(best[2] / BASELINE_QPS_EST, 3),
         "best_engine": best[0],
         "recall": round(best[1], 4),
         "time_per_query_ns": round(1e9 / best[2], 0),
@@ -264,7 +272,11 @@ def main() -> None:
         ],
         "flat_build_s": round(flat_build_s, 1),
         "graph_build_s": round(graph_build_s, 1),
-        "baseline_note": "estimated single-core expANN QPS (BENCH_NOTES.md); reference unbuildable in-image",
+        "baseline_note": (
+            "vs_baseline = measured single-core CPU reference-loop QPS on "
+            "this host (587.2 @ recall 0.952, native/baseline_search.cpp, "
+            "BASELINE.md); vs_baseline_est10k = rounds 1-3 estimate"
+        ),
     }
     print(json.dumps(out))
 

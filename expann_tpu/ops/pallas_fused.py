@@ -385,6 +385,104 @@ def _fused_kernel(
                 skey, beam_k, beam_ids, b_abs = jax.lax.fori_loop(
                     0, trip, _pass, (skey, beam_k, beam_ids, b_abs)
                 )
+        elif "skip_merge" not in DBG and MERGE == "pair":
+            # --- pairwise top-k merge: the serial replace-max chain goes ---
+            # Classic fixed-size top-k update (the heart of GPU warp-select
+            # kernels, here on 128-lane vregs): per segment, extract the
+            # TOPT best candidates ASCENDING (the serial min chain below,
+            # unchanged), extract the beam's TOPT worst live lanes
+            # DESCENDING (TOPT serial max reductions), then replace
+            # PAIRWISE — candidate i displaces worst i iff cand_i < worst_i
+            # — as pure elementwise selects on distinct lanes.
+            #
+            # Correctness (top-EF multiset of beam ∪ candidates): with C
+            # ascending and W descending under one comparator, successes
+            # C[i] < W[i] form a PREFIX (C rises while W falls), so the
+            # evicted set is exactly the c' largest beam members and the
+            # inserted set the c' smallest candidates; max(kept) <=
+            # min(evicted ∪ rejected) follows lane-for-lane, which is
+            # precisely the top-EF partition.  Ties reject (strict <, the
+            # reference heap's behavior), enforced by saturating the
+            # candidate key's lane bits before the compare.
+            #
+            # vs the "topt" chain this removes BOTH per-insertion serial
+            # reductions (dup max-reduce and live-worst max-reduce): dup
+            # checks run as TOPT INDEPENDENT reductions against the
+            # running membership (exhaustive by the same monotone-worst
+            # argument as "count" mode — an id rejected once can only be
+            # rejected again, an inserted one is caught by b_abs), and
+            # the worst extraction is the only serial chain left.
+            b_abs = jnp.where(beam_ids < 0, ~beam_ids, beam_ids)
+            for seg_d, seg_i in segs:
+                skey = pack_keys(seg_d, slane)
+                # candidate extraction (ascending), as in "topt"
+                mcs, cids = [], []
+                for _t in range(TOPT):
+                    kmin = jnp.min(skey, axis=1, keepdims=True)
+                    smask = slane == key_lane(kmin)
+                    skey = jnp.where(smask, INF, skey)
+                    mcs.append(kmin)
+                    cids.append(
+                        jnp.min(
+                            jnp.where(smask, seg_i, BIG),
+                            axis=1, keepdims=True,
+                        )
+                    )
+                # independent dup checks vs the RUNNING membership (updated
+                # after the previous segment's merge); within a segment an
+                # adjacency row is duplicate-free by builder invariant
+                dups = [
+                    jnp.max((b_abs == cid).astype(jnp.int32), axis=1,
+                            keepdims=True)
+                    for cid in cids
+                ]
+                # beam worst extraction: TOPT live-max reductions, desc
+                masked_b = jnp.where(live, beam_k, -INF)
+                wks, wls = [], []
+                for _t in range(TOPT):
+                    kmax = jnp.max(masked_b, axis=1, keepdims=True)
+                    wl = key_lane(kmax)
+                    masked_b = jnp.where(lane == wl, -INF, masked_b)
+                    wks.append(kmax)
+                    wls.append(wl)
+                # Pairwise replacement.  A dup-suppressed candidate must
+                # NOT consume a worst slot (candidate i+1 would then face
+                # the tighter W[i+1] and could be wrongly rejected), so
+                # non-suppressed candidate i pairs with
+                # W[i - #suppressed-before-i] — the shift is a per-row
+                # prefix sum of the dup flags, and the pairing index is
+                # strictly increasing over surviving candidates, so the
+                # TOPT replacement selects still hit distinct lanes and
+                # commute — no serial dependence.
+                prefix = jnp.zeros_like(dups[0])
+                for t in range(TOPT):
+                    idx = t - prefix  # (T, 1) slot in the worst list
+                    wk_t = wks[0]
+                    wl_t = wls[0]
+                    for j in range(1, min(t + 1, TOPT)):
+                        pickj = idx == j
+                        wk_t = jnp.where(pickj, wks[j], wk_t)
+                        wl_t = jnp.where(pickj, wls[j], wl_t)
+                    mci = (
+                        jax.lax.bitcast_convert_type(mcs[t], jnp.int32)
+                        & KEYM
+                    )
+                    ck_cmp = jax.lax.bitcast_convert_type(
+                        mci | LMASK, jnp.float32
+                    )
+                    new_k = jax.lax.bitcast_convert_type(
+                        mci | wl_t, jnp.float32
+                    )
+                    repl = (
+                        (lane == wl_t)
+                        & (ck_cmp < wk_t)
+                        & (dups[t] == 0)
+                        & (done == 0)
+                    )
+                    beam_k = jnp.where(repl, new_k, beam_k)
+                    beam_ids = jnp.where(repl, cids[t], beam_ids)
+                    b_abs = jnp.where(repl, cids[t], b_abs)
+                    prefix = prefix + dups[t]
         elif "skip_merge" not in DBG:
             # --- merge: packed-key extract-min, packed-key replace-max ---
             # Extraction: one f32 min reduction per candidate gives value

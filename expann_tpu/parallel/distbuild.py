@@ -487,7 +487,7 @@ def build_distributed(
             vectors, norms, adj, counts, wq, gids_j, frontier,
             C=C, cap=cap, ortho_factor=cfg.ortho_factor,
             ortho_bias=cfg.ortho_bias, prune_overflow=cfg.prune_overflow,
-            overflow_rows=128, n_shard=n_shard, mesh=mesh,
+            overflow_rows=min(128, S * n_shard), n_shard=n_shard, mesh=mesh,
             precision=cfg.precision, reverse=(mode == "incremental"),
             xs_flat=xs_flat, n_total=n, interpret=interpret,
             topk_mode=topk_mode,
@@ -504,7 +504,7 @@ def build_distributed(
                 cap=cap, ortho_factor=cfg.ortho_factor,
                 ortho_bias=cfg.ortho_bias,
                 prune_overflow=cfg.prune_overflow,
-                overflow_rows=128, n_shard=n_shard,
+                overflow_rows=min(128, S * n_shard), n_shard=n_shard,
                 precision=cfg.precision,
             )
             if verbose:

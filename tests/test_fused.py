@@ -100,7 +100,7 @@ def test_fused_i8_zero_distance_queries():
         assert int(row[0]) == want, (want, row)
 
 
-@pytest.mark.parametrize("merge", ["topt", "count"])
+@pytest.mark.parametrize("merge", ["topt", "count", "pair"])
 def test_fused_search_exact_on_full_beam(merge):
     """With ef >= n, full candidate keep, and a complete adjacency, one
     expansion wave reaches everything: the beam must equal exact top-n."""
@@ -152,7 +152,7 @@ def test_fused_search_exact_on_full_beam(merge):
     assert int(np.asarray(ncomp).sum()) > 0
 
 
-@pytest.mark.parametrize("merge", ["topt", "count"])
+@pytest.mark.parametrize("merge", ["topt", "count", "pair"])
 def test_fused_search_dedup_under_maximal_overlap(merge):
     """Adversarial dedup check for the merge's dup logic: on a COMPLETE
     graph with expand=2 both expanded blocks offer the SAME candidate

@@ -48,15 +48,23 @@ def main():
     # "gaussian" = the reference's isotropic synthetic (hard at 1M —
     # curse of dimensionality); "clustered" = mixture of 1000 Gaussians
     # modelling real-corpus intrinsic dimension (SIFT-like)
-    ap.add_argument("--data", choices=("gaussian", "clustered"),
-                    default="gaussian")
+    # "fvecs:<dir>" loads a real corpus from <dir>/{sift_base.fvecs,
+    # sift_query.fvecs, sift_groundtruth.ivecs} (the reference's SIFT1M
+    # layout, src/main.cpp:72-80) — any real fvecs corpus drops in with
+    # no code change the day the files exist in-image
+    ap.add_argument("--data", default="gaussian")
     args = ap.parse_args()
+    if not (args.data in ("gaussian", "clustered")
+            or args.data.startswith("fvecs:")):
+        ap.error("--data must be gaussian, clustered, or fvecs:<dir>")
     global IDX, GT
     # n tag keeps non-1M runs (e.g. the 2M crossover demo) from
     # colliding with the canonical 1M cache files
     ntag = "" if args.n == 1_000_000 else f"_n{args.n}"
-    IDX = f"/tmp/expann_1m_idx_M{args.M}_{args.data}{ntag}.npz"
-    GT = f"/tmp/expann_1m_gt_{args.data}{ntag}.npz"
+    dtag = ("fvecs_" + os.path.basename(args.data[6:].rstrip("/"))
+            if args.data.startswith("fvecs:") else args.data)
+    IDX = f"/tmp/expann_1m_idx_M{args.M}_{dtag}{ntag}.npz"
+    GT = f"/tmp/expann_1m_gt_{dtag}{ntag}.npz"
 
     import jax.numpy as jnp
 
@@ -72,14 +80,35 @@ def main():
     from expann_tpu.utils.persist import save_index
 
     n, m, d, k = args.n, args.m, args.d, args.k
-    print(f"generating synthetic n={n} d={d} ...", flush=True)
-    if args.data == "clustered":
-        x, queries = generate_synthetic_clustered(n, m, d, seed=0)
+    gt = "unset"
+    if args.data.startswith("fvecs:"):
+        from expann_tpu.data.loader import load_sift1m
+
+        base = args.data[6:].rstrip("/")
+        print(f"loading fvecs corpus from {base}/ ...", flush=True)
+        ds = load_sift1m(
+            os.path.join(base, "sift_base.fvecs"),
+            os.path.join(base, "sift_query.fvecs"),
+            os.path.join(base, "sift_groundtruth.ivecs"),
+            k_custom=k,
+        )
+        x = np.asarray(ds.vecs, np.float32)
+        queries = np.asarray(ds.queries, np.float32)
+        gt = np.asarray(ds.ground_truth)
+        n, d = x.shape
+        m, k = gt.shape
+        print(f"fvecs corpus: n={n} d={d} m={m} k={k}", flush=True)
     else:
-        x, queries = generate_synthetic(n, m, d, seed=0)
+        print(f"generating synthetic n={n} d={d} ...", flush=True)
+        if args.data == "clustered":
+            x, queries = generate_synthetic_clustered(n, m, d, seed=0)
+        else:
+            x, queries = generate_synthetic(n, m, d, seed=0)
 
     # ---- exact ground truth ----
-    if args.build_only:
+    if not isinstance(gt, str):
+        pass  # fvecs ground truth came with the files
+    elif args.build_only:
         gt = None
     elif os.path.exists(GT):
         gt = np.load(GT)["gt"]
@@ -108,7 +137,8 @@ def main():
         M=args.M, ef_construction=args.efc, prune_cand=args.efc,
         precision="default",
     )
-    if args.skip_build and os.path.exists(IDX):
+    built = not (args.skip_build and os.path.exists(IDX))
+    if not built:
         build_s = None
     else:
         mesh = make_mesh(1)
@@ -121,11 +151,16 @@ def main():
         print(f"build: {build_s:.0f}s  {stats}", flush=True)
         save_index(IDX, graph, {"dim": d})
         del graph
-        results.append({"point": "build", "build_s": round(build_s, 1),
-                        "n": n, **stats})
+        if not args.build_only:
+            results.append({"point": "build", "build_s": round(build_s, 1),
+                            "n": n, **stats})
 
     if args.build_only:
-        print(f"build-only: index saved to {IDX}", flush=True)
+        if built:
+            print(f"build-only: index saved to {IDX}", flush=True)
+        else:
+            print(f"build-only: index already present at {IDX} "
+                  "(build skipped)", flush=True)
         return
 
     # ---- graph query pareto (fused traversal; ef <= 128 reuses ONE

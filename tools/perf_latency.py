@@ -27,6 +27,7 @@ Scales: 56k (canonical synthetic) and 1m (hardened clustered M=48 index,
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -40,14 +41,28 @@ from expann_tpu.utils import runtime  # noqa: F401  (compile cache)
 D = 128
 
 
+_SALT = [0]
+
+
+def _salted(run, reps: int):
+    """Every dispatch gets a UNIQUE salt operand: repeated calls with
+    byte-identical (program, operands) get result-deduped by this host's
+    axon layer exactly like identical dispatches inside a loop do
+    (CLAUDE.md) — observed as a ~zero reps-slope on the heavier 1M
+    chains.  The salt seeds the chain's initial carry, so the chain
+    cost itself is unchanged."""
+    _SALT[0] += 1
+    return run(reps, np.float32((_SALT[0] % 997) * 1e-4))
+
+
 def _slope(run, r1: int, r2: int, reps: int = 3) -> float:
     """Median of `reps` (t(r2) - t(r1)) / (r2 - r1) slopes, seconds."""
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(r1).block_until_ready()
+        _salted(run, r1).block_until_ready()
         t1 = time.perf_counter()
-        run(r2).block_until_ready()
+        _salted(run, r2).block_until_ready()
         t2 = time.perf_counter()
         ts.append(((t2 - t1) - (t1 - t0)) / (r2 - r1))
     return float(np.median(ts))
@@ -56,12 +71,12 @@ def _slope(run, r1: int, r2: int, reps: int = 3) -> float:
 def _measure(run, label: str, B: int):
     import jax.numpy as jnp  # noqa: F401
 
-    run(1).block_until_ready()  # compile
+    _salted(run, 1).block_until_ready()  # compile
     # grow the reps delta until the measured window clears RPC noise
     r1, r2 = 4, 24
     while True:
         t0 = time.perf_counter()
-        run(r2).block_until_ready()
+        _salted(run, r2).block_until_ready()
         if time.perf_counter() - t0 > 0.5 or r2 >= 4096:
             break
         r2 = r2 * 4
@@ -80,7 +95,7 @@ def _chain(search, qbase, B):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(reps):
+    def run(reps, salt):
         def body(_, carry):
             c, acc = carry
             q = qbase + c * 1e-6
@@ -88,7 +103,7 @@ def _chain(search, qbase, B):
             return (c2, acc + c2)
 
         _, acc = jax.lax.fori_loop(
-            0, reps, body, (jnp.float32(0.0), jnp.float32(0.0))
+            0, reps, body, (salt, jnp.float32(0.0))
         )
         return acc
 
@@ -114,6 +129,50 @@ def run_flat(scale_n: int, x: np.ndarray, Bs, i8: bool):
     else:
         xdev, n_real = flat_topk_prepare(x)
 
+    # Corpus-scale arrays (the scan codes, the bf16 rerank corpus, its
+    # norms) ride as jit OPERANDS, never closure captures: captured device
+    # arrays serialize into the remote-compile request, and the i8 chain's
+    # ~388MB of captures (codes 128MB + rerank corpus 256MB + norms)
+    # exceeded the compile server's request-body limit (HTTP 413) at 1M.
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("qt_",))
+    def _i8_chain(reps, salt, xdev_, xr_, xn_, cdev_, qb_, qt_):
+        def body(_, carry):
+            c, acc = carry
+            q = qb_ + c * 1e-6
+            qk = jnp.clip(
+                jnp.round((q - cdev_[None, :]) * scale), -127, 127
+            ).astype(jnp.int8)
+            ids, _ = flat_topk(
+                qk, xdev_, n_real=n_real, k=min(3 * k, 128), query_tile=qt_
+            )
+            rids, _rd = _rerank_exact(q, xr_, xn_, ids, k)
+            c2 = (rids.sum() % 1024).astype(jnp.float32) * 1e-3
+            return (c2, acc + c2)
+
+        _, acc = jax.lax.fori_loop(
+            0, reps, body, (salt, jnp.float32(0.0))
+        )
+        return acc
+
+    @functools.partial(jax.jit, static_argnames=("qt_",))
+    def _bf16_chain(reps, salt, xdev_, qb_, qt_):
+        def body(_, carry):
+            c, acc = carry
+            q = qb_ + c * 1e-6
+            ids, _ = flat_topk(
+                q.astype(jnp.bfloat16), xdev_, n_real=n_real, k=k,
+                query_tile=qt_,
+            )
+            c2 = (ids.sum() % 1024).astype(jnp.float32) * 1e-3
+            return (c2, acc + c2)
+
+        _, acc = jax.lax.fori_loop(
+            0, reps, body, (salt, jnp.float32(0.0))
+        )
+        return acc
+
     rng = np.random.default_rng(3)
     for B in Bs:
         # the kernel's query tile needs >= 32 rows for the i8/bf16 sublane
@@ -124,32 +183,12 @@ def run_flat(scale_n: int, x: np.ndarray, Bs, i8: bool):
         qb = jnp.asarray(rng.standard_normal((Bp, D)).astype(np.float32))
 
         if i8:
-
-            def search(q):
-                qk = jnp.clip(
-                    jnp.round((q - cdev[None, :]) * scale), -127, 127
-                ).astype(jnp.int8)
-                ids, _ = flat_topk(
-                    qk, xdev, n_real=n_real, k=min(3 * k, 128), query_tile=qt
-                )
-                rids, rd = _rerank_exact(q, xr, xn, ids, k)
-                return (rids.sum() % 1024).astype(jnp.float32) * 1e-3
-
+            run = (lambda qb_, qt_: lambda reps, salt: _i8_chain(
+                reps, salt, xdev, xr, xn, cdev, qb_, qt_=qt_))(qb, qt)
         else:
-
-            def search(q):
-                ids, _ = flat_topk(
-                    q.astype(jnp.bfloat16),
-                    xdev,
-                    n_real=n_real,
-                    k=k,
-                    query_tile=qt,
-                )
-                return (ids.sum() % 1024).astype(jnp.float32) * 1e-3
-
-        _measure(
-            _chain(search, qb, B), "flat_i8" if i8 else "flat", B
-        )
+            run = (lambda qb_, qt_: lambda reps, salt: _bf16_chain(
+                reps, salt, xdev, qb_, qt_=qt_))(qb, qt)
+        _measure(run, "flat_i8" if i8 else "flat", B)
 
 
 def run_graph(scale: str, Bs):
@@ -208,43 +247,55 @@ def run_graph(scale: str, Bs):
         center, qscale = None, None
     sentinel = g.sentinel
 
+    # Every corpus-scale device array (entry-member codes mv/mn/mem, the
+    # packed corpus, the rerank vectors) is passed as a jit OPERAND, never
+    # a closure capture: closed-over arrays become embedded HLO constants
+    # and the serialized program exceeds this host's remote-compile-server
+    # request limit (HTTP 413) at corpus scale.
+    def _entry_scan_op(q, mv_, mn_, mem_):
+        if center is not None:
+            qk = jnp.clip(jnp.round((q - center) * qscale), -127.0, 127.0)
+        else:
+            qk = q
+        qkn = jnp.sum(qk * qk, axis=1)
+        md = mn_[None, :] + qkn[:, None] - 2.0 * jax.lax.dot_general(
+            qk, mv_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        neg_d, idx = jax.lax.approx_max_k(-md, 8)
+        return neg_d, mem_[idx]
+
+    @jax.jit
+    def _entry_chain(reps, salt, mv_, mn_, mem_, qb_):
+        def body(_, carry):
+            c, acc = carry
+            _, sids = _entry_scan_op(qb_ + c * 1e-6, mv_, mn_, mem_)
+            c2 = (sids.sum() % 1024).astype(jnp.float32) * 1e-3
+            return (c2, acc + c2)
+
+        _, acc = jax.lax.fori_loop(
+            0, reps, body, (salt, jnp.float32(0.0))
+        )
+        return acc
+
     rng = np.random.default_rng(3)
     for B in Bs:
-        qb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
-        qt = min(B, 128)
-
-        def entry_scan(q):
-            if center is not None:
-                qk = jnp.clip(jnp.round((q - center) * qscale), -127.0, 127.0)
-            else:
-                qk = q
-            qkn = jnp.sum(qk * qk, axis=1)
-            md = mn[None, :] + qkn[:, None] - 2.0 * jax.lax.dot_general(
-                qk, mv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            neg_d, idx = jax.lax.approx_max_k(-md, 8)
-            return neg_d, mem[idx]
-
-        def entry_probe(q):
-            neg_d, sids = entry_scan(q)
-            return (sids.sum() % 1024).astype(jnp.float32) * 1e-3
+        # the fused kernel's query tile must be a multiple of 8: a smaller
+        # serving batch is padded, exactly as the engine pads (the padded
+        # dispatch IS the B<8 latency)
+        qt = min(max(B, 8), 128)
+        Bp = B + (-B) % qt
+        qb = jnp.asarray(rng.standard_normal((Bp, D)).astype(np.float32))
 
         # precomputed seed beams for the traversal chain (the query
         # perturbation below leaves them valid seeds — the traversal
         # refines entries, it does not require them optimal)
-        neg_d, sids = jax.jit(entry_scan)(qb)
-        bd0 = jnp.full((B, 128), np.inf, jnp.float32).at[:, :8].set(-neg_d)
-        bi0 = jnp.full((B, 128), sentinel, jnp.int32).at[:, :8].set(sids)
-
-        # The packed corpus must be a jit OPERAND, not a closure capture:
-        # closed-over device arrays are embedded as HLO constants and the
-        # serialized program exceeds this host's remote-compile-server
-        # request limit (HTTP 413) at corpus scale.
-        import functools
+        neg_d, sids = jax.jit(_entry_scan_op)(qb, mv, mn, mem)
+        bd0 = jnp.full((Bp, 128), np.inf, jnp.float32).at[:, :8].set(-neg_d)
+        bi0 = jnp.full((Bp, 128), sentinel, jnp.int32).at[:, :8].set(sids)
 
         @functools.partial(jax.jit, static_argnames=("qt_",))
-        def _trav_chain(reps, packed, auxb, vecs, nrm, bd, bi, qb_, qt_):
+        def _trav_chain(reps, salt, packed, auxb, vecs, nrm, bd, bi, qb_, qt_):
             def search(q):
                 if center is not None:
                     qk = jnp.clip(
@@ -265,17 +316,18 @@ def run_graph(scale: str, Bs):
                 return (c2, acc + c2)
 
             _, acc = jax.lax.fori_loop(
-                0, reps, body, (jnp.float32(0.0), jnp.float32(0.0))
+                0, reps, body, (salt, jnp.float32(0.0))
             )
             return acc
 
-        def trav_run(reps):
+        def trav_run(reps, salt):
             return _trav_chain(
-                reps, g.packed, g.packed_aux, g.vectors, g.norms,
+                reps, salt, g.packed, g.packed_aux, g.vectors, g.norms,
                 bd0, bi0, qb, qt_=qt,
             )
 
-        _measure(_chain(entry_probe, qb, B), "graph:entry", B)
+        _measure(lambda reps, salt: _entry_chain(reps, salt, mv, mn, mem, qb),
+                 "graph:entry", B)
         _measure(trav_run, "graph:trav", B)
 
 
