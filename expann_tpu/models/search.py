@@ -26,6 +26,7 @@ TPU-native replacement for the reference's sequential two-heap beam search
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -616,6 +617,9 @@ def fused_query_batch(
         qt=qt,
         interpret=interpret,
         merge=merge,
+        # dev-only cost/ablation knob (ops/pallas_fused.py DBG flags,
+        # e.g. "eager_wait" reverts the per-group DMA-wait overlap)
+        dbg=os.environ.get("EXPANN_FUSED_DBG", ""),
     )
     if inv is not None:
         beam_ids, ncomp_rows = beam_ids[inv], ncomp_rows[inv]

@@ -24,11 +24,15 @@ grid step (reference hot loop: src/antitopo_engine.h:637-688, the whole
     extreme value AND its lane): each expansion's RS scored rows reduce
     to their best TOPT via packed-key extract-min, then each candidate
     replace-max-inserts with ONE reduction, with the dup checks hoisted
-    OFF the serial insertion chain (vs the iteration-start beam plus
-    earlier candidates).  A naive replace-max's per-insertion chain of
-    (wmax, wlsel, dup) reductions measured 13.5 of 22 us/tile-iter
-    (tools/probe_fused_slope.py); a sorted-beam lane-roll insertion
-    measured worse still (rolls lower expensively),
+    OFF the serial insertion chain and BIT-PACKED into one reduction per
+    segment (beam ids are unique, so each id-equality hits at most one
+    lane and a lane-sum of (1<<t)-weighted equalities returns every
+    candidate's dup flag at once).  A naive replace-max's per-insertion
+    chain of (wmax, wlsel, dup) reductions measured 13.5 of 22
+    us/tile-iter (tools/probe_fused_slope.py); per-candidate dup
+    max-reductions measured 8.8 of 21.3 (tools/probe_trav_cost.py); a
+    sorted-beam lane-roll insertion measured worse still (rolls lower
+    expensively),
   * termination is per query-tile (``jax.lax.while_loop`` on a scalar
     all-done reduction) — the reference's break condition
     (src/antitopo_engine.h:588-590) checked tile-locally, so one slow
@@ -191,6 +195,33 @@ def _fused_kernel(
         )
 
         # --- fetch the selected nodes' packed blocks (data-dependent DMA) ---
+        # All copies are started, then ALL are waited before scoring.
+        # The "obvious" refinement — wait per 8-query subgroup just
+        # before that subgroup's matmul so later groups' DMA tails hide
+        # under earlier groups' MXU time — measured 24% SLOWER, twice,
+        # on the chained device-side probe (group 13.98/14.07 us/query
+        # vs eager 11.32/11.37; tools/perf_latency.py + EXPANN_FUSED_DBG,
+        # 56k i8 ef=100 B=512, 2026-08-19): interleaving semaphore waits
+        # into the unrolled matmul sequence serializes MXU issue against
+        # the scalar core, costing more than the DMA tail it hides.
+        # Kept as the opt-in dbg="group_wait" variant (parity-tested in
+        # tests/test_fused.py); see BENCH_NOTES "DMA-wait placement".
+        def _wait_qi(qi):
+            for e in range(E):
+                pltpu.make_async_copy(
+                    packed_ref.at[0], vbuf.at[qi, e], sems.at[2 * qi]
+                ).wait()
+                pltpu.make_async_copy(
+                    aux_ref.at[0], abuf.at[qi, e], sems.at[2 * qi + 1]
+                ).wait()
+
+        group_wait = (
+            "group_wait" in DBG
+            and "skip_dma" not in DBG
+            and "skip_score" not in DBG
+            and "skip_matmul" not in DBG
+            and RS % 128 == 0
+        )
         if "skip_dma" not in DBG:
             for qi in range(T):
                 for e in range(E):
@@ -204,14 +235,9 @@ def _fused_kernel(
                     pltpu.make_async_copy(
                         aux_ref.at[node], abuf.at[qi, e], sems.at[2 * qi + 1]
                     ).start()
-            for qi in range(T):
-                for e in range(E):
-                    pltpu.make_async_copy(
-                        packed_ref.at[0], vbuf.at[qi, e], sems.at[2 * qi]
-                    ).wait()
-                    pltpu.make_async_copy(
-                        aux_ref.at[0], abuf.at[qi, e], sems.at[2 * qi + 1]
-                    ).wait()
+            if not group_wait:
+                for qi in range(T):
+                    _wait_qi(qi)
 
         # --- score all T*E blocks with one MXU matmul ---
         if "skip_score" in DBG:
@@ -239,6 +265,9 @@ def _fused_kernel(
                 # bounds the VMEM intermediate at O(8 * T * E * RS)
                 bigs = []
                 for g in range(T // 8):
+                    if group_wait and "skip_dma" not in DBG:
+                        for qi in range(8 * g, 8 * (g + 1)):
+                            _wait_qi(qi)
                     Vg = vbuf[8 * g : 8 * (g + 1)].reshape(8 * E * RS, D)
                     bigs.append(
                         jax.lax.dot_general(
@@ -257,6 +286,10 @@ def _fused_kernel(
                 row8 = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
                 accs = []
                 for g in range(T // 8):
+                    if "skip_diag" in DBG:  # cost probe: no block-diag
+                        # extraction (wrong data, right shapes)
+                        accs.append(bigs[g][:, :W])
+                        continue
                     acc = jnp.zeros((8, W), jnp.float32)
                     for j in range(8):
                         acc = acc + jnp.where(
@@ -488,20 +521,15 @@ def _fused_kernel(
             # Extraction: one f32 min reduction per candidate gives value
             # AND lane (packed key); a second gives its id.  Insertion:
             # one f32 max reduction gives the live-worst's value AND lane
-            # — no wlsel reduction — and the dup checks run against the
-            # iteration-START beam plus earlier candidates, OFF the serial
-            # insertion chain.  Off-chain dup is exhaustive: the live max
-            # is non-increasing across insertions, so a candidate equal to
-            # an earlier-rejected one (bitwise-equal key) would be
-            # rejected again, and one equal to an earlier-admitted one
-            # must be suppressed regardless (reference visited-set
-            # semantics, src/antitopo_engine.h:574-607).
-            # pre-insertion membership for dup checks, with the expanded
-            # flag stripped ONCE (selection may have flipped ids to ~id);
-            # per-candidate tests are then a single compare instead of
-            # (== cid) | (== ~cid) — E*TOPT fewer full-width compare+or
-            # pairs per iteration
-            b_abs0 = jnp.where(beam_ids < 0, ~beam_ids, beam_ids)
+            # — no wlsel reduction — and the dup checks are BIT-PACKED
+            # into one reduction per segment (see the dup block below),
+            # OFF the serial insertion chain.  Off-chain dup is
+            # exhaustive: the live max is non-increasing across
+            # insertions, so a candidate equal to an earlier-rejected one
+            # (bitwise-equal key) would be rejected again, and one equal
+            # to an earlier-admitted one must be suppressed regardless
+            # (reference visited-set semantics,
+            # src/antitopo_engine.h:574-607).
             cands = []  # per segment: ([(T,1) key...], [(T,1) cid...])
             for seg_d, seg_i in segs:
                 skey = pack_keys(seg_d, slane)
@@ -525,24 +553,46 @@ def _fused_kernel(
                         beam_k = jnp.where(mc < 0.0, mc, beam_k)
             else:
                 for e, (mcs, cids) in enumerate(cands):
+                    # --- bit-packed dup detection: ONE reduction/segment ---
+                    # The per-candidate dup max-reduce was 8.8 of 21.3
+                    # us/tile-iter (41% of the whole kernel) on the chained
+                    # cost ladder (tools/probe_trav_cost.py, 2026-08-19).
+                    # Beam ids are UNIQUE (beam-dedup invariant), so each
+                    # equality (b_cmp == cid_t) hits at most one lane, and
+                    # the lane-sum of sum_t (1<<t)*(b_cmp == cid_t) packs
+                    # every candidate's dup flag into one int32 bitmask —
+                    # one reduction for all TOPT candidates instead of
+                    # TOPT reductions plus O(TOPT^2) cross-segment scalar
+                    # compares.  Sentinel lanes (beam padding and unseeded
+                    # live lanes) are remapped to per-lane-unique negatives
+                    # so a sentinel candidate cannot multi-match and carry
+                    # into higher bits.  Membership is the RUNNING beam
+                    # (recomputed per segment): an id evicted earlier this
+                    # iteration is no longer suppressed, but its re-offer
+                    # carries its old key value >= the (monotonically
+                    # tightened) live worst, so the strict-< value test
+                    # rejects it identically — same final beam as checking
+                    # the iteration-start membership plus earlier
+                    # candidates pairwise (the scheme this replaces).
+                    if "skip_dup" in DBG:  # cost probe: no dedup
+                        dups = [jnp.zeros_like(cids[t]) for t in range(TOPT)]
+                    else:
+                        bid_abs = jnp.where(beam_ids < 0, ~beam_ids, beam_ids)
+                        b_cmp = jnp.where(bid_abs == sent, -(lane + 2), bid_abs)
+                        dups = []
+                        for g0 in range(0, TOPT, 16):  # 16 bits per mask:
+                            # int32 sum stays exact for any EF
+                            g1 = min(g0 + 16, TOPT)
+                            bits = jnp.zeros((T, EF), jnp.int32)
+                            for t in range(g0, g1):
+                                bits = bits + jnp.where(
+                                    b_cmp == cids[t], jnp.int32(1 << (t - g0)), 0
+                                )
+                            dmask = jnp.sum(bits, axis=1, keepdims=True)
+                            dups += [dmask & (1 << (t - g0)) for t in range(g0, g1)]
                     for t in range(TOPT):
                         mc, cid = mcs[t], cids[t]
-                        # dup: vs the iteration-start beam ...
-                        dup = jnp.max(
-                            (b_abs0 == cid).astype(jnp.int32),
-                            axis=1,
-                            keepdims=True,
-                        )
-                        # ... plus candidates from earlier segments this
-                        # iteration (adjacency rows are duplicate-free, so
-                        # same-segment dups are impossible — per-row
-                        # uniqueness is asserted by the builder tests)
-                        for pe in range(e):
-                            for pc in cands[pe][1]:
-                                dup = jnp.maximum(
-                                    dup, (pc == cid).astype(jnp.int32)
-                                )
-                        supp = (dup > 0) | (done == 1)
+                        supp = (dups[t] > 0) | (done == 1)
                         kmax = jnp.max(
                             jnp.where(live, beam_k, -INF),
                             axis=1, keepdims=True,

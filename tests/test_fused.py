@@ -207,6 +207,54 @@ def test_fused_search_dedup_under_maximal_overlap(merge):
         assert len(set(got)) == len(got), got
 
 
+def test_fused_group_wait_matches_eager_wait():
+    """The opt-in dbg="group_wait" DMA-wait placement (per-8-query-group
+    waits just before each group's matmul) must be result-identical to
+    the default all-upfront wait.  Measured 24% SLOWER on device
+    (BENCH_NOTES "DMA-wait placement") so it is opt-in, but the variant
+    stays parity-tested.  Needs RS % 128 == 0 (the group-wait gate) and
+    qt=16 so there are TWO groups — the second group's waits really run
+    after the first group's compute."""
+    rng = np.random.default_rng(23)
+    n, d, R = 300, 32, 128
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    vecs = jnp.asarray(
+        np.concatenate(
+            [np.pad(x, ((0, 0), (0, 128 - d))), np.zeros((1, 128), np.float32)]
+        )
+    )
+    norms = jnp.concatenate([jnp.sum(vecs[:n] ** 2, 1), jnp.array([np.inf])])
+    # random R=128 adjacency (RS = 128): row i lists 128 distinct others
+    adj_np = np.empty((n + 1, R), np.int32)
+    for i in range(n + 1):
+        adj_np[i] = rng.choice(n, size=R, replace=False)
+    adj = jnp.asarray(adj_np)
+    packed, aux = build_packed(vecs, norms, adj, dtype=jnp.float32)
+    assert packed.shape[1] % 128 == 0
+
+    B, EF = 16, 128
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 128 - d))))
+    qn = np.sum(q**2, axis=1)
+    bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, 0].set(
+        jnp.asarray(qn + np.sum(x[0] ** 2) - 2 * q @ x[0])
+    )
+    bi0 = jnp.full((B, EF), n, jnp.int32).at[:, 0].set(0)
+
+    outs = {}
+    for dbg in ("", "group_wait"):
+        ids, dists, ncomp, _ = fused_search(
+            packed, aux, qp, bd0, bi0, ef=100, expand=2, cand=16,
+            qt=16, interpret=True, dbg=dbg,
+        )
+        outs[dbg] = (np.asarray(ids), np.asarray(dists), np.asarray(ncomp))
+    np.testing.assert_array_equal(outs[""][0], outs["group_wait"][0])
+    np.testing.assert_array_equal(outs[""][1], outs["group_wait"][1])
+    np.testing.assert_array_equal(outs[""][2], outs["group_wait"][2])
+    # sanity: the search actually went somewhere
+    assert (outs[""][0][:, 0] < n).all()
+
+
 def test_sort_tiles_is_order_identical():
     """fused_sort_tiles permutes queries into similar-difficulty tiles
     and unpermutes the outputs — results must be identical (same ids,
@@ -364,3 +412,41 @@ def test_fused_respects_done_flag_early_exit():
     ids = eng.query_k_batch(q, 5)
     assert ids.shape == (16, 5)
     assert (ids < n).all() and (ids >= 0).all()
+
+
+def test_fused_pair_merge_engine_recall():
+    """Engine-level A/B of the round-4 "pair" merge (pairwise top-k
+    replacement, prefix-shifted around dup-suppressed candidates) against
+    "topt": both keep exactly the top-EF of the offered candidate stream,
+    so at equal ef their recall must match within noise and results stay
+    dup-free."""
+    rng = np.random.default_rng(17)
+    n, d, k = 800, 32, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((40, d)).astype(np.float32)
+    d2 = ((queries[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, gt)])
+
+    def build(merge):
+        cfg = AntitopoConfig(
+            M=12, ef_construction=60, ef_search=40, query_expand=2,
+            use_packed=True, use_fused=True, fused_qt=8, fused_cand=8,
+            fused_merge=merge, seed=0,
+        )
+        eng = AntitopoEngine(config=cfg)
+        eng.store_many_vectors(x)
+        eng.build()
+        return eng
+
+    r_topt = recall(build("topt").query_k_batch(queries, k))
+    pair_eng = build("pair")
+    ids = pair_eng.query_k_batch(queries, k)
+    r_pair = recall(ids)
+    assert r_pair >= r_topt - 0.02, (r_pair, r_topt)
+    for row in ids:
+        valid = row[(row >= 0) & (row < n)]
+        assert len(set(valid.tolist())) == len(valid)
+    assert pair_eng.num_distcomps > 0

@@ -53,6 +53,9 @@ def main():
     # layout, src/main.cpp:72-80) — any real fvecs corpus drops in with
     # no code change the day the files exist in-image
     ap.add_argument("--data", default="gaussian")
+    # serve an explicit index file (e.g. an adjacency-truncated variant
+    # from tools/truncate_index.py) instead of the derived cache path
+    ap.add_argument("--idx", default="")
     args = ap.parse_args()
     if not (args.data in ("gaussian", "clustered")
             or args.data.startswith("fvecs:")):
@@ -63,7 +66,7 @@ def main():
     ntag = "" if args.n == 1_000_000 else f"_n{args.n}"
     dtag = ("fvecs_" + os.path.basename(args.data[6:].rstrip("/"))
             if args.data.startswith("fvecs:") else args.data)
-    IDX = f"/tmp/expann_1m_idx_M{args.M}_{dtag}{ntag}.npz"
+    IDX = args.idx or f"/tmp/expann_1m_idx_M{args.M}_{dtag}{ntag}.npz"
     GT = f"/tmp/expann_1m_gt_{dtag}{ntag}.npz"
 
     import jax.numpy as jnp

@@ -43,7 +43,7 @@ D = 128
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sweep", choices=("compression", "qt", "merge"),
+    ap.add_argument("--sweep", choices=("compression", "qt", "merge", "dma"),
                     default="compression")
     ap.add_argument("--Q", type=int, default=65536)
     ap.add_argument("--ef", type=int, default=100)
@@ -81,7 +81,7 @@ def main():
         modes = {
             f"qt{qt}": make("i8", False, fused_qt=qt) for qt in (32, 64, 128)
         }
-    else:
+    elif args.sweep == "merge":
         # merge-mode A/B: the round-4 pairwise top-k merge (serial
         # replace-max chain replaced by prefix-shifted pairwise selects)
         # vs the round-3 "topt" chain, at the two best query tiles
@@ -89,6 +89,14 @@ def main():
             f"{mg}_qt{qt}": make("i8", False, fused_qt=qt, fused_merge=mg)
             for mg in ("topt", "pair") for qt in (64, 128)
         }
+    else:
+        # DMA-wait placement A/B: per-8-query-group waits immediately
+        # before each group's matmul (opt-in dbg="group_wait") vs the
+        # default all-upfront waits.  The chained device-side probe
+        # settled this (group 24% slower, BENCH_NOTES "DMA-wait
+        # placement"); this wall-clock sweep is kept for e2e sanity.
+        modes = {"group": make("i8", False), "eager": make("i8", False)}
+        dbg_env = {"group": "group_wait", "eager": ""}
 
     rng = np.random.default_rng(11)
 
@@ -108,7 +116,12 @@ def main():
         gt = np.asarray(ds["all_query_ans"], np.int64)
         gt_sets = [set(int(v) for v in row) for row in gt]
 
+    def set_env(name):
+        if args.sweep == "dma":
+            os.environ["EXPANN_FUSED_DBG"] = dbg_env[name]
+
     for name, eng in modes.items():  # compile/warm every mode first
+        set_env(name)
         eng.query_k_batch(batch(), 10)
         if gt_sets is not None:
             ids = eng.query_k_batch(qreal, 10)
@@ -123,6 +136,7 @@ def main():
     results = {name: [] for name in modes}
     for rep in range(args.reps):
         for name, eng in modes.items():  # interleaved: drift cancels
+            set_env(name)
             b = batch()
             t0 = time.perf_counter()
             eng.query_k_batch(b, 10)

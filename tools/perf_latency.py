@@ -306,6 +306,8 @@ def run_graph(scale: str, Bs):
                 ids, _, _, _ = fused_search(
                     packed, auxb, qk, bd, bi,
                     ef=jnp.int32(100), expand=2, cand=16, qt=qt_,
+                    merge=os.environ.get("EXPANN_FUSED_MERGE", "topt"),
+                    dbg=os.environ.get("EXPANN_FUSED_DBG", ""),
                 )
                 rids, _ = _rerank_body(q, vecs, nrm, ids, 10)
                 return (rids.sum() % 1024).astype(jnp.float32) * 1e-3
