@@ -107,6 +107,62 @@ def _device_qps_flat(flat, k, Q=65536, reps=5):
     return Q / float(np.median(times))
 
 
+def _device_qps_graph(graph_eng, d, k, ef=120, B=512):
+    """Device-side graph-engine ceiling at the best recall>=0.95 point
+    (ef=120): the full query path (entry scan + fused traversal + exact
+    rerank) timed by the chained-slope instrument perf_latency.py
+    validated — serially dependent dispatches inside ONE jit, so RPC
+    overhead and dispatch dedup both cancel (CLAUDE.md timing note).
+    Recorded alongside the e2e numbers because the axon host<->device
+    tunnel's load variance dominates e2e at these rates (BENCH_NOTES
+    round-4 refresh); this number is the tunnel-independent capability."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from expann_tpu.models.search import fused_query_batch
+
+    g = graph_eng.graph
+    cfg = graph_eng.cfg
+
+    @functools.partial(jax.jit, static_argnames=("k_", "qt_", "E_", "C_"))
+    def chain(gr, qb, reps, salt, ef_s, k_, qt_, E_, C_):
+        def body(_, carry):
+            c, acc = carry
+            ids, _, _ = fused_query_batch(
+                gr, qb + c * 1e-6, ef=ef_s, k=k_, ef_cap=128,
+                expand=E_, cand=C_, qt=qt_, seeds=cfg.entry_seeds,
+                precision=cfg.precision,
+            )
+            c2 = (ids.sum() % 1024).astype(jnp.float32) * 1e-3
+            return (c2, acc + c2)
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (salt, jnp.float32(0.0)))
+        return acc
+
+    rng = np.random.default_rng(7)
+    qb = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    salt = [0]
+
+    def t(reps):
+        salt[0] += 1
+        t0 = time.perf_counter()
+        chain(
+            g, qb, jnp.int32(reps), np.float32((salt[0] % 997) * 1e-4),
+            jnp.int32(ef), k_=k, qt_=min(cfg.fused_qt, B),
+            E_=cfg.query_expand, C_=cfg.fused_cand,
+        ).block_until_ready()
+        return time.perf_counter() - t0
+
+    t(1)  # compile
+    r1, r2 = 4, 8
+    while t(r2) < 0.5 and r2 < 4096:
+        r2 *= 2
+    slopes = [(t(r2) - t(r1)) / (r2 - r1) for _ in range(3)]
+    return B / float(np.median(slopes))
+
+
 def _wait_for_device() -> None:
     """Bounded wait for the TPU tunnel before touching jax in-process.
 
@@ -187,8 +243,10 @@ def main() -> None:
     # reference's own sweep grid (src/bench_runner.h:133-163) and give the
     # best recall curve on this dataset (see tools/ sweeps).  Queries run
     # the fully fused in-kernel traversal (use_fused='auto' -> on, TPU;
-    # ops/pallas_fused.py) at the round-2 sweep's best operating point:
-    # expand=2, cand=16, qt=128 (tools/perf_fused.py).  query_block=8192
+    # ops/pallas_fused.py) at the round-4 re-sweep's best operating point:
+    # expand=2, cand=8, qt=128 (tools/perf_oppoint.py — post-dup-fix the
+    # optimum moved from the round-2 cand=16: identical recall at 8-9%
+    # lower device time, 143.8k QPS device-side @ ef=100).  query_block=8192
     # with a production-sized Q: the per-dispatch wall overhead on this
     # host (~100-200ms, batch-size independent — tools/perf_e2e_graph.py)
     # dominates small batches; amortization is the decisive QPS lever
@@ -201,7 +259,7 @@ def main() -> None:
         prune_cand=500,
         query_expand=2,
         packed_topt=8,
-        fused_cand=16,
+        fused_cand=8,
         fused_qt=128,
         query_block=8192,
         # dense multi-seed entry scan: same recall, ~1.7x QPS (better
@@ -223,6 +281,9 @@ def main() -> None:
         ) / m  # per query, from the recall run (RECORD_STATS parity)
         qps, qbest = _qps(graph, d, k, Q=8192 if quick else 65536)
         points.append((f"antitopo_ef{k * mult}", rec, qps, distcomps, qbest))
+
+    # tunnel-independent graph capability at the best recall>=0.95 point
+    graph_dev_qps = _device_qps_graph(graph, d, k, ef=120)
 
     # quantized serving (the reference's use_compression=true grid half):
     # centered-s8 packed blocks scored in code space in-kernel + exact f32
@@ -260,6 +321,8 @@ def main() -> None:
         "time_per_query_ns": round(1e9 / best[2], 0),
         "qps_stat": "median of 5 (fresh unique batches); qps_best alongside",
         "flat_device_qps": round(flat_dev_qps, 1),
+        "graph_device_qps": round(graph_dev_qps, 1),
+        "graph_device_ef": 120,
         "pareto": [
             {
                 "engine": nm,

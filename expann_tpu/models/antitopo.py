@@ -84,10 +84,12 @@ class AntitopoConfig:
     # off-TPU, for tests); False falls back to the per-iteration packed
     # path.  fused_qt queries traverse per kernel grid step; fused_cand
     # candidates total are kept per iteration, split across the
-    # query_expand expansions.  Defaults are the round-2 sweep's best
-    # operating point (tools/perf_fused.py: expand=2/cand=16/qt=128).
+    # query_expand expansions.  Defaults are the round-4 re-sweep's best
+    # operating point (tools/perf_oppoint.py: expand=2/cand=8/qt=128 —
+    # post-dup-fix, cand=8 gives identical recall to the round-2 cand=16
+    # at 8-9% lower device time; BENCH_NOTES "operating-point re-sweep").
     use_fused: object = "auto"
-    fused_cand: int = 16
+    fused_cand: int = 8
     fused_qt: int = 128
     # in-kernel merge mode for the fused traversal: "topt" (top-cand/E
     # candidates per segment offered, the default) or "count"

@@ -220,6 +220,7 @@ def _fused_kernel(
             and "skip_dma" not in DBG
             and "skip_score" not in DBG
             and "skip_matmul" not in DBG
+            and "vpu_score" not in DBG
             and RS % 128 == 0
         )
         if "skip_dma" not in DBG:
@@ -259,10 +260,20 @@ def _fused_kernel(
             acc_t = (
                 jnp.int32 if vbuf.dtype == jnp.int8 else jnp.float32
             )
-            if RS % 128 == 0:
+            if RS % 128 == 0 and "vpu_score" not in DBG:
                 # one (8, D) x (D, 8*E*RS) matmul per 8-query subgroup:
                 # the 8x row redundancy is free on the MXU, and grouping
                 # bounds the VMEM intermediate at O(8 * T * E * RS)
+                #
+                # Grouping wider does NOT help: a (G, D) x (D, G*E*RS)
+                # group does G*T*E*RS*D MACs at G/128 MXU row
+                # utilization, so time ~ T*E*RS*D*128/peak for EVERY G —
+                # the systolic array streams 128 rows per pass no matter
+                # how few are live.  The alternative engine is the VPU
+                # broadcast-multiply path below (dbg="vpu_score", the
+                # RS<128 path): same exact f32 sums, no block-diagonal
+                # extraction, ~T*E*RS*D*2 VPU ops — A/B'd on device
+                # (BENCH_NOTES round 4).
                 bigs = []
                 for g in range(T // 8):
                     if group_wait and "skip_dma" not in DBG:

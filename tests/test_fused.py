@@ -255,6 +255,57 @@ def test_fused_group_wait_matches_eager_wait():
     assert (outs[""][0][:, 0] < n).all()
 
 
+def test_fused_vpu_score_matches_matmul_score():
+    """dbg="vpu_score" swaps the grouped MXU matmul + block-diagonal
+    extraction for the broadcast-multiply VPU path (the RS<128 engine)
+    at RS%128==0.  On the production s8 code path both engines are
+    exact (s32 accumulate vs f32 sums of integers < 2^21) and agree
+    bitwise; this f32-data test tolerates ULP-level accumulation-order
+    differences in the distances while requiring identical ids."""
+    rng = np.random.default_rng(29)
+    n, d, R = 300, 32, 128
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    vecs = jnp.asarray(
+        np.concatenate(
+            [np.pad(x, ((0, 0), (0, 128 - d))), np.zeros((1, 128), np.float32)]
+        )
+    )
+    norms = jnp.concatenate([jnp.sum(vecs[:n] ** 2, 1), jnp.array([np.inf])])
+    adj_np = np.empty((n + 1, R), np.int32)
+    for i in range(n + 1):
+        adj_np[i] = rng.choice(n, size=R, replace=False)
+    adj = jnp.asarray(adj_np)
+    packed, aux = build_packed(vecs, norms, adj, dtype=jnp.float32)
+    assert packed.shape[1] % 128 == 0
+
+    B, EF = 16, 128
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 128 - d))))
+    qn = np.sum(q**2, axis=1)
+    bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, 0].set(
+        jnp.asarray(qn + np.sum(x[0] ** 2) - 2 * q @ x[0])
+    )
+    bi0 = jnp.full((B, EF), n, jnp.int32).at[:, 0].set(0)
+
+    outs = {}
+    for dbg in ("", "vpu_score"):
+        ids, dists, ncomp, _ = fused_search(
+            packed, aux, qp, bd0, bi0, ef=100, expand=2, cand=16,
+            qt=16, interpret=True, dbg=dbg,
+        )
+        outs[dbg] = (np.asarray(ids), np.asarray(dists), np.asarray(ncomp))
+    np.testing.assert_array_equal(outs[""][0], outs["vpu_score"][0])
+    finite = np.isfinite(outs[""][1]) & (outs[""][1] < 1e30)
+    # rtol covers packed-key lane bits (low ~7 mantissa bits, <= ~1.6e-5
+    # relative): the same node admitted from a different segment records
+    # a different lane in its key's low bits
+    np.testing.assert_allclose(
+        outs[""][1][finite], outs["vpu_score"][1][finite], rtol=1e-4
+    )
+    np.testing.assert_array_equal(outs[""][2], outs["vpu_score"][2])
+    assert (outs[""][0][:, 0] < n).all()
+
+
 def test_sort_tiles_is_order_identical():
     """fused_sort_tiles permutes queries into similar-difficulty tiles
     and unpermutes the outputs — results must be identical (same ids,

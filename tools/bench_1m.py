@@ -175,7 +175,10 @@ def main():
     rs16 = 2 * args.M + ((-2 * args.M) % 16)
     d_pad = d + ((-d) % 128)
     bf16_fits = n * rs16 * d_pad * 2 < 10e9
-    pts = [(2, 40, 16), (2, 80, 16), (2, 120, 16), (2, 200, 32), (2, 256, 32)]
+    # cand=8 vs 16 A/B at scale: the round-4 op-point re-sweep (56k)
+    # moved the default to cand=8; the 1M pairs here verify it holds
+    pts = [(2, 40, 16), (2, 80, 8), (2, 80, 16), (2, 120, 8), (2, 120, 16),
+           (2, 200, 32), (2, 256, 32)]
     plist = [(e_, ef_, c_, "i8") for e_, ef_, c_ in pts]
     if bf16_fits:
         plist += [(2, 120, 16, "bf16")]
