@@ -304,6 +304,12 @@ def main() -> None:
             points.append(
                 (f"antitopo_compressed_ef{k * mult}", rec, qps, distcomps, qbest)
             )
+        # tunnel-independent ceiling for the s8 code-space path too: the
+        # i8 packed blocks halve the traversal's DMA bytes, so this is
+        # the graph engine's true single-chip capability number
+        graph_dev_qps_i8 = _device_qps_graph(graph, d, k, ef=120)
+    else:
+        graph_dev_qps_i8 = 0.0
 
     qualifying = [p for p in points if p[1] >= RECALL_TARGET]
     best = max(qualifying, key=lambda p: p[2]) if qualifying else max(
@@ -322,6 +328,7 @@ def main() -> None:
         "qps_stat": "median of 5 (fresh unique batches); qps_best alongside",
         "flat_device_qps": round(flat_dev_qps, 1),
         "graph_device_qps": round(graph_dev_qps, 1),
+        "graph_device_qps_i8": round(graph_dev_qps_i8, 1),
         "graph_device_ef": 120,
         "pareto": [
             {

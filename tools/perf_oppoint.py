@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--efs", default="80,100,120")
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--n", type=int, default=56000)
+    # explicit index file (e.g. a serving-R-truncated variant from
+    # tools/truncate_index.py) instead of the derived cache path
+    ap.add_argument("--idx", default="")
     args = ap.parse_args()
     grid = [tuple(int(v) for v in g.split("x")) for g in args.grid.split(",")]
     efs = [int(v) for v in args.efs.split(",")]
@@ -57,7 +60,7 @@ def main():
     from expann_tpu.models.search import fused_query_batch
     from expann_tpu.ops.pallas_fused import fused_search
 
-    idx = f"/tmp/perf_fused_idx_{args.n}.npz"
+    idx = args.idx or f"/tmp/perf_fused_idx_{args.n}.npz"
     assert os.path.exists(idx), f"{idx} missing (tools/perf_e2e_graph.py)"
     ds = load_synthetic_uniform_sphere_points(n=args.n, m=400, k=10, d=D)
     gt_sets = [set(int(v) for v in row) for row in np.asarray(ds.ground_truth)]
