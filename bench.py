@@ -246,11 +246,12 @@ def main() -> None:
     # ops/pallas_fused.py) at the round-4 re-sweep's best operating point:
     # expand=2, cand=8, qt=128 (tools/perf_oppoint.py — post-dup-fix the
     # optimum moved from the round-2 cand=16: identical recall at 8-9%
-    # lower device time, 143.8k QPS device-side @ ef=100).  query_block=8192
+    # lower device time, 143.8k QPS device-side @ ef=100).  query_block
     # with a production-sized Q: the per-dispatch wall overhead on this
     # host (~100-200ms, batch-size independent — tools/perf_e2e_graph.py)
     # dominates small batches; amortization is the decisive QPS lever
-    # (42k -> 75k QPS at ef=100 going from Q=8k/qb=4k to Q=64k/qb=8k).
+    # (42k -> 75k QPS at ef=100 going from Q=8k/qb=4k to Q=64k/qb=8k,
+    # then +22% more at qb=16k — see the cfg note below).
     cfg = AntitopoConfig(
         M=60,
         ef_construction=500,
@@ -261,7 +262,11 @@ def main() -> None:
         packed_topt=8,
         fused_cand=8,
         fused_qt=128,
-        query_block=8192,
+        # qb=16384 halves the RPC count at Q=65536 vs the round-3 8192:
+        # +22% e2e same-session (80.3k -> 97.9k @ ef=100 i8 packed;
+        # tools/perf_ab_serving.py --sweep qb, BENCH_NOTES "query wire /
+        # query_block"); 32768 gives it back to pipeline fill
+        query_block=16384,
         # dense multi-seed entry scan: same recall, ~1.7x QPS (better
         # entries -> far fewer traversal iterations; the upper-layer
         # member matmul is nearly free on the MXU)
@@ -308,6 +313,26 @@ def main() -> None:
         # i8 packed blocks halve the traversal's DMA bytes, so this is
         # the graph engine's true single-chip capability number
         graph_dev_qps_i8 = _device_qps_graph(graph, d, k, ef=120)
+
+        # i8 query wire on the s8 packed layout (query_wire="i8"): the
+        # host ships 1 B/dim absmax codes dequantized in-trace — halves
+        # the query upload on the link-bound e2e path (+20% measured,
+        # BENCH_NOTES "query wire") at a ~0.006 recall cost from query
+        # quantization, so the gate-clearing points sit at ef>=120
+        # (ef stays <= 128: crossing the 128-wide beam bucket would
+        # compile the 256 kernel fresh inside the driver run)
+        graph.cfg.query_wire = "i8"
+        for mult in [11, 12]:
+            graph.set_ef_search(k * mult)
+            rec = _recall(graph.query_k_batch(ds.queries, k), gt_sets, k)
+            distcomps = (
+                graph.num_distcomps + graph.num_distcomps_compressed
+            ) / m
+            qps, qbest = _qps(graph, d, k, Q=65536)
+            points.append(
+                (f"antitopo_wire_i8_ef{k * mult}", rec, qps, distcomps, qbest)
+            )
+        graph.cfg.query_wire = "bf16"
     else:
         graph_dev_qps_i8 = 0.0
 

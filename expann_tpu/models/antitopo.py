@@ -110,6 +110,13 @@ class AntitopoConfig:
     # traversal is DMA-bound, so ~2x QPS at a small in-kernel ranking
     # coarsening that the exact f32 rerank mostly recovers)
     packed_dtype: str = "bf16"
+    # fused-path query wire format: "bf16" (2 B/dim, kernel scores bf16/s8
+    # blocks anyway) or "i8" (1 B/dim codes + a per-query absmax scale,
+    # dequantized to f32 in-trace — models/search.fused_query_batch).  The
+    # graph analogue of the flat engine's query_wire: e2e serving on this
+    # host is host<->device-link-bound, so halving query upload bytes is
+    # pure e2e headroom at recall parity (the corpus side is untouched).
+    query_wire: str = "bf16"
     # >0: seed the fused beam with the top-entry_seeds members of the
     # largest upper layer (<= 65536 members) by one dense MXU scan instead
     # of single-path greedy descent — escapes wrong-basin entries on
@@ -461,15 +468,30 @@ class AntitopoEngine(Engine):
                 # one compile per 128-wide ef_cap bucket (crossing a
                 # bucket boundary, e.g. 120 -> 160, compiles the wider
                 # beam once — models/search.fused_query_batch).  Queries
-                # ship as bf16 — the kernel scores bf16/s8 blocks anyway
-                # and the axon host->device link is the dominant per-call
-                # cost (tools/probe_flat_overhead.py) — and are upcast to
-                # f32 on device for descent/rerank.
+                # ship as bf16 (2 B/dim — the kernel scores bf16/s8 blocks
+                # anyway and the axon host->device link is the dominant
+                # per-call cost, tools/probe_flat_overhead.py) or, with
+                # query_wire="i8", as 1 B/dim absmax codes dequantized to
+                # f32 in-trace; either wire is upcast to f32 on device for
+                # descent/rerank.
                 import ml_dtypes
 
+                if self.cfg.query_wire == "i8":
+                    a = np.maximum(
+                        np.abs(chunk).max(axis=1, keepdims=True), 1e-30
+                    )
+                    q_op = jnp.asarray(
+                        np.clip(
+                            np.round(chunk * (127.0 / a)), -127, 127
+                        ).astype(np.int8)
+                    )
+                    q_inv = jnp.asarray((a / 127.0).astype(np.float32))
+                else:
+                    q_op = jnp.asarray(chunk.astype(ml_dtypes.bfloat16))
+                    q_inv = None
                 ids, _, ncomp = fused_query_batch(
                     self.graph,
-                    jnp.asarray(chunk.astype(ml_dtypes.bfloat16)),
+                    q_op,
                     ef=np.int32(ef),
                     k=k,
                     ef_cap=ef + ((-ef) % 128),
@@ -482,6 +504,7 @@ class AntitopoEngine(Engine):
                     sort_tiles=self.cfg.fused_sort_tiles,
                     merge=self.cfg.fused_merge
                     or os.environ.get("EXPANN_FUSED_MERGE", "topt"),
+                    q_inv_scale=q_inv,
                 )
             else:
                 # the per-iteration packed kernel scores raw blocks against

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -492,6 +492,7 @@ def fused_query_batch(
     interpret: bool = False,
     sort_tiles: bool = False,  # order queries by entry distance (straggler cut)
     merge: str = "topt",  # in-kernel merge mode (ops/pallas_fused.py)
+    q_inv_scale: Optional[jax.Array] = None,  # (B, 1) f32, required for i8 q
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full batched query through the fully fused single-kernel traversal
     (ops/pallas_fused.py): greedy upper-layer descent, then the ENTIRE
@@ -504,9 +505,20 @@ def fused_query_batch(
     reference, src/antitopo_engine.h:189-195 — reuses one compile per
     128-wide ``ef_cap`` bucket (crossing a bucket boundary compiles the
     wider-beam kernel once).  Requires ``graph.packed`` and ``B % qt == 0``.
+
+    ``q`` may be int8 codes (``query_wire='i8'``): the host ships 1 B/dim
+    plus a per-query absmax scale and the f32 query is reconstructed here,
+    in-trace, so the wire saving costs no extra dispatch.  Everything
+    downstream (descent, traversal, rerank) sees the dequantized f32 query;
+    the only error vs an f32 wire is the query's own quantization noise
+    (|err| <= absmax/254 per dim) — the graph analogue of the flat
+    engine's i8 wire (models/brute_force.py ``query_wire``).
     """
     assert graph.packed is not None, "index has no packed-neighbour arrays"
     B = q.shape[0]
+    if q.dtype == jnp.int8:
+        assert q_inv_scale is not None, "i8 query wire needs q_inv_scale"
+        q = q.astype(jnp.float32) * q_inv_scale
     q = q.astype(jnp.float32)
     qn = squared_norms(q)
     sentinel = graph.sentinel

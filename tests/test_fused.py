@@ -85,6 +85,38 @@ def test_query_fused_i8_matches_bf16():
         assert len(set(valid.tolist())) == len(valid)
 
 
+def test_query_wire_i8_matches_bf16_wire():
+    """query_wire='i8' ships 1 B/dim absmax codes + per-query scales and
+    dequantizes in-trace (models/search.fused_query_batch); only the query
+    itself is perturbed (corpus untouched), so recall must track the bf16
+    wire within the query-quantization noise band."""
+    rng = np.random.default_rng(11)
+    n, d, k = 600, 32, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((40, d)).astype(np.float32)
+    d2 = ((queries[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, gt)])
+
+    bf16_eng = _build(x, expand=2, cand=16)
+    i8w_eng = _build(x, expand=2, cand=16)
+    i8w_eng.cfg.query_wire = "i8"
+    r_bf16 = recall(bf16_eng.query_k_batch(queries, k))
+    ids = i8w_eng.query_k_batch(queries, k)
+    r_i8w = recall(ids)
+    assert r_i8w >= r_bf16 - 0.02, (r_i8w, r_bf16)
+    for row in ids:
+        valid = row[(row >= 0) & (row < n)]
+        assert len(set(valid.tolist())) == len(valid)
+    # exact-match probes survive the wire: self-queries return themselves
+    probe = [7, 123, 400]
+    pids = i8w_eng.query_k_batch(x[probe], k)
+    for want, row in zip(probe, pids):
+        assert int(row[0]) == want, (want, row)
+
+
 def test_fused_i8_zero_distance_queries():
     """Queries that EQUAL stored vectors produce exact-zero code-space
     distances — the pack_keys floor path (zero would be a subnormal key

@@ -56,6 +56,10 @@ def main():
     # serve an explicit index file (e.g. an adjacency-truncated variant
     # from tools/truncate_index.py) instead of the derived cache path
     ap.add_argument("--idx", default="")
+    # fused-path query wire: "bf16" (default) or "i8" (1 B/dim absmax
+    # codes dequantized in-trace — models/search.fused_query_batch);
+    # measured +21% e2e at 56k on a link-bound session (BENCH_NOTES)
+    ap.add_argument("--wire", default="bf16", choices=("bf16", "i8"))
     args = ap.parse_args()
     if not (args.data in ("gaussian", "clustered")
             or args.data.startswith("fvecs:")):
@@ -188,7 +192,7 @@ def main():
             query_expand=expand, fused_cand=cand, packed_dtype=pdt,
             query_block=8192,  # dispatch-overhead amortization
             entry_seeds=8,  # dense multi-seed entry scan (multi-basin data)
-            precision="default", use_packed=True,
+            precision="default", use_packed=True, query_wire=args.wire,
             index_filename=IDX, read_index=True,
         )
         eng = AntitopoEngine(config=acfg)
@@ -204,7 +208,8 @@ def main():
             t0 = time.perf_counter()
             eng.query_k_batch(qs, k)
             best = min(best, time.perf_counter() - t0)
-        pt = {"point": f"antitopo_ef{ef}_e{expand}_c{cand}_{pdt}",
+        wtag = "_wirei8" if args.wire == "i8" else ""
+        pt = {"point": f"antitopo_ef{ef}_e{expand}_c{cand}_{pdt}{wtag}",
               "recall": round(rec, 4), "qps": round(B / best, 1),
               "distcomps": round(dc, 1)}
         results.append(pt)
@@ -213,7 +218,10 @@ def main():
 
     # ---- flat scans ----
     for mode in ("fused", "fused_i8"):
-        eng = BruteForceEngine(mode=mode)
+        eng = BruteForceEngine(
+            mode=mode,
+            query_wire=args.wire if mode == "fused_i8" else "bf16",
+        )
         eng.store_many_vectors(x)
         t0 = time.perf_counter()
         eng.build()

@@ -43,7 +43,9 @@ D = 128
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sweep", choices=("compression", "qt", "merge", "dma"),
+    ap.add_argument("--sweep",
+                    choices=("compression", "qt", "merge", "dma", "wire",
+                             "qb", "combo"),
                     default="compression")
     ap.add_argument("--Q", type=int, default=65536)
     ap.add_argument("--ef", type=int, default=100)
@@ -55,13 +57,14 @@ def main():
     assert os.path.exists(IDX), f"{IDX} missing (tools/perf_e2e_graph.py)"
 
     def make(packed_dtype="bf16", use_compression=False, fused_qt=128,
-             fused_merge=""):
+             fused_merge="", query_wire="bf16", query_block=8192):
         cfg = AntitopoConfig(
             M=60, ef_construction=500, prune_cand=500,
             query_expand=2, fused_cand=16, fused_qt=fused_qt,
-            query_block=8192, entry_seeds=8, precision="default",
+            query_block=query_block, entry_seeds=8, precision="default",
             packed_dtype=packed_dtype, use_compression=use_compression,
             ef_search=args.ef, fused_merge=fused_merge,
+            query_wire=query_wire,
             index_filename=IDX, read_index=True, write_index=False,
         )
         eng = AntitopoEngine(config=cfg)
@@ -89,6 +92,33 @@ def main():
             f"{mg}_qt{qt}": make("i8", False, fused_qt=qt, fused_merge=mg)
             for mg in ("topt", "pair") for qt in (64, 128)
         }
+    elif args.sweep == "wire":
+        # query wire A/B: bf16 (2 B/dim) vs i8 (1 B/dim absmax codes,
+        # dequantized in-trace) on the i8 packed layout — halves the
+        # host->device query upload on a link-bound e2e path at recall
+        # parity (the corpus side is untouched)
+        modes = {
+            "wire_bf16": make("i8", False, query_wire="bf16"),
+            "wire_i8": make("i8", False, query_wire="i8"),
+        }
+    elif args.sweep == "combo":
+        # do the two link-side levers stack? i8 wire (half the upload
+        # bytes) x query_block=16384 (half the RPC count)
+        modes = {
+            "base": make("i8", False),
+            "wire_i8": make("i8", False, query_wire="i8"),
+            "qb16384": make("i8", False, query_block=16384),
+            "wire_i8_qb16384": make("i8", False, query_wire="i8",
+                                    query_block=16384),
+        }
+    elif args.sweep == "qb":
+        # query_block A/B: fewer, larger dispatches amortize the fixed
+        # per-RPC wall cost (~100-200ms, batch-size independent) at the
+        # price of a longer pipeline fill
+        modes = {
+            f"qb{qb}": make("i8", False, query_block=qb)
+            for qb in (8192, 16384, 32768)
+        }
     else:
         # DMA-wait placement A/B: per-8-query-group waits immediately
         # before each group's matmul (opt-in dbg="group_wait") vs the
@@ -107,7 +137,7 @@ def main():
     ds_path = ("data/synthetic_uniform_sphere_"
                "n56000_dim128_m400_k10.dataset")
     gt_sets = None
-    if args.sweep == "merge" and os.path.exists(ds_path):
+    if args.sweep in ("merge", "wire", "combo") and os.path.exists(ds_path):
         import json as _json
 
         with open(ds_path) as f:
