@@ -60,6 +60,9 @@ def main():
     # codes dequantized in-trace — models/search.fused_query_batch);
     # measured +21% e2e at 56k on a link-bound session (BENCH_NOTES)
     ap.add_argument("--wire", default="bf16", choices=("bf16", "i8"))
+    ap.add_argument("--qb", type=int, default=8192,
+                    help="serving query_block; 16384 halves the dispatch "
+                    "count and measured +22%% at 56k (BENCH_NOTES)")
     args = ap.parse_args()
     if not (args.data in ("gaussian", "clustered")
             or args.data.startswith("fvecs:")):
@@ -190,7 +193,7 @@ def main():
         acfg = AntitopoConfig(
             M=args.M, ef_construction=args.efc, ef_search=ef,
             query_expand=expand, fused_cand=cand, packed_dtype=pdt,
-            query_block=8192,  # dispatch-overhead amortization
+            query_block=args.qb,  # dispatch-overhead amortization
             entry_seeds=8,  # dense multi-seed entry scan (multi-basin data)
             precision="default", use_packed=True, query_wire=args.wire,
             index_filename=IDX, read_index=True,
@@ -209,6 +212,8 @@ def main():
             eng.query_k_batch(qs, k)
             best = min(best, time.perf_counter() - t0)
         wtag = "_wirei8" if args.wire == "i8" else ""
+        if args.qb != 8192:
+            wtag += f"_qb{args.qb}"
         pt = {"point": f"antitopo_ef{ef}_e{expand}_c{cand}_{pdt}{wtag}",
               "recall": round(rec, 4), "qps": round(B / best, 1),
               "distcomps": round(dc, 1)}
