@@ -65,6 +65,8 @@ class AntitopoConfig:
     query_expand: int = 1  # beam entries expanded per traversal iteration
     builder: str = "auto"  # "oneshot" | "wave" | "auto"
     wave_size: int = 1024
+    wave_expand: int = 4  # wave-builder beam expansion rows per iteration
+    wave_overflow_rows: int = 128  # fullest rows repruned per wave
     # quantization mode for use_compression: "simple" (uint8 cast, the
     # reference's live path) or "ranged" (min/max affine q8, the principled
     # variant the reference defines but never instantiates)
@@ -269,6 +271,8 @@ class AntitopoEngine(Engine):
             precision=c.precision,
             builder=c.builder,
             wave_size=c.wave_size,
+            wave_expand=c.wave_expand,
+            wave_overflow_rows=c.wave_overflow_rows,
         )
 
     def _attach_codes(self) -> None:
@@ -354,6 +358,25 @@ class AntitopoEngine(Engine):
             if c.packed_dtype != "i8":
                 self.set_packed_dtype("i8")
         if on and self.graph.packed is None:
+            # HBM guard: the packed-neighbour layout duplicates each
+            # node's vector into every neighbour block (RS x D per node).
+            # At e.g. N=1M, M0=120 (the reference's canonical M=60 grid)
+            # that is 16.4GB i8 — over a v5e chip's 16GB.  Fall back to
+            # the XLA gather beam (any-size, reference-semantics path)
+            # instead of OOMing; override via EXPANN_PACKED_BUDGET_GB.
+            np1, d_pack = self.graph.vectors.shape
+            r_adj = self.graph.adj_bottom.shape[1]
+            if c.packed_dtype == "i8":
+                rs_pack = r_adj + ((-r_adj) % 32)
+                bytes_est = np1 * rs_pack * d_pack
+            else:
+                rs_pack = r_adj + ((-r_adj) % 16)
+                bytes_est = np1 * rs_pack * d_pack * 2
+            budget = float(
+                os.environ.get("EXPANN_PACKED_BUDGET_GB", "10")
+            ) * 2**30
+            if bytes_est > budget:
+                return False
             if c.packed_dtype == "i8":
                 from expann_tpu.ops.pallas_beam import build_packed_i8
 

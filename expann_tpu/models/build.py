@@ -385,18 +385,58 @@ def _merge_lazy(sel_ids, sel_d, inc_src, inc_d, chunk: int = 512):
     )
 
 
-def _compact_rows_vec(ids: np.ndarray, d: np.ndarray, width: int, sentinel: int):
-    """Vectorized left-pack: stable-sort each row by validity (invalid last),
-    preserving original order among valid entries."""
-    invalid = ~np.isfinite(d)
-    order = np.argsort(invalid, axis=1, kind="stable")
-    packed = np.take_along_axis(ids, order, axis=1)
-    packed_inv = np.take_along_axis(invalid, order, axis=1)
-    packed = np.where(packed_inv, sentinel, packed)
-    if packed.shape[1] < width:
-        pad = np.full((ids.shape[0], width - packed.shape[1]), sentinel, np.int32)
-        packed = np.concatenate([packed, pad], axis=1)
-    return packed[:, :width].astype(np.int32)
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap", "R", "prune_overflow", "prune_block", "precision"),
+)
+def _finish_rows_device(
+    vec_s: jax.Array,  # (n_pad + 1, D) corpus with sentinel row
+    norm_s: jax.Array,
+    merged_ids: jax.Array,  # (W, C2) forward ++ incoming, dups masked
+    merged_d: jax.Array,  # (W, C2), +inf on invalid
+    count: jax.Array,  # (W,) live edges per row
+    cap: int,
+    R: int,
+    ortho_factor,
+    ortho_bias,
+    prune_overflow: int,
+    prune_block: int,
+    precision: str,
+) -> jax.Array:
+    """Finish the reverse pass entirely on device: rows within the cap keep
+    append order (the reference's lazy branch, src/antitopo_engine.h:270-273),
+    overflowing rows are re-pruned over their (d, id)-sorted union
+    (:441-455).  Replaces the former host round-trip of the full merged
+    edge lists (hundreds of MB over the tunnel, the dominant cost of the
+    round-4 one-shot build); the prune runs for *all* rows (a few seconds of
+    device work) and a per-row select keeps the correct branch.  Returns the
+    final ``(W, R)`` adjacency, sentinel-padded."""
+    W, C2 = merged_ids.shape
+    sentinel = vec_s.shape[0] - 1
+    ids_min = jnp.minimum(merged_ids, sentinel)
+
+    # ---- lazy branch: stable left-pack of valid entries, append order ----
+    invalid = (~jnp.isfinite(merged_d)).astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (W, C2), 1)
+    inv_s, _, ids_s = jax.lax.sort((invalid, pos, ids_min), num_keys=2)
+    lazy = jnp.where(inv_s == 1, sentinel, ids_s)
+    if C2 < R:
+        lazy = jnp.pad(lazy, ((0, 0), (0, R - C2)), constant_values=sentinel)
+    lazy = lazy[:, :R]
+
+    # ---- overflow branch: (d, id)-sorted union, full anti-topo prune ----
+    d_u, i_u = jax.lax.sort((merged_d, ids_min), num_keys=2)
+    over_ids, _ = prune_all_device(
+        vec_s, norm_s, i_u, d_u,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, prune_block=prune_block,
+        precision=precision,
+    )
+    over = jnp.pad(
+        over_ids, ((0, 0), (0, R - cap)), constant_values=sentinel
+    )[:, :R]
+
+    return jnp.where((count <= cap)[:, None], lazy, over)
 
 
 @dataclasses.dataclass
@@ -419,6 +459,11 @@ class BuildConfig:
     builder: str = "auto"
     wave_size: int = 1024
     auto_wave_threshold: int = 131072
+    # wave-builder knobs (models/wavebuild._wave_step): beam expansion rows
+    # per iteration, and how many of the fullest destinations get the
+    # deferred lazy prune each wave
+    wave_expand: int = 4
+    wave_overflow_rows: int = 128
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -435,8 +480,9 @@ def _build_layer(
 ) -> np.ndarray:
     """Build one layer's adjacency over its member set.
 
-    All ids here are layer-local slots; sentinel is n_l.  Returns a host
-    ``(n_l, R)`` int32 array (R = cap rounded up to 16) in final edge order.
+    All ids here are layer-local slots; sentinel is n_l.  Returns a *device*
+    ``(n_l, R)`` int32 array (R = cap rounded up to 16) in final edge order —
+    nothing round-trips to the host.
     """
     n = member_vecs.shape[0]
     sentinel = n
@@ -531,55 +577,23 @@ def _build_layer(
         prune_overflow=cfg.prune_overflow, prune_block=pb,
         precision=cfg.precision,
     )
-    sel_ids_j = sel_ids_j[:n]
-    sel_d_j = sel_d_j[:n]
 
-    # --- reverse pass ---
+    # --- reverse pass (device-resident end to end; padding rows carry only
+    # +inf candidates so they contribute no edges and their final rows are
+    # sliced off) ---
     A = min(2 * cap, 4096)
     inc_src, inc_d = _incoming_edges(sel_ids_j, sel_d_j, A=A, sentinel=sentinel)
     merged_ids_j, merged_d_j, count_j = _merge_lazy(
         sel_ids_j, sel_d_j, inc_src, inc_d
     )
-    merged_ids = np.asarray(merged_ids_j)
-    merged_d = np.asarray(merged_d_j)
-    count = np.asarray(count_j)
-
     R = _round_up(cap, 16)
-    adj = np.full((n, R), sentinel, np.int32)
-
-    # Nodes within cap: keep append order (lazy branch).
-    lazy_mask = count <= cap
-    lazy_rows = np.nonzero(lazy_mask)[0]
-    if lazy_rows.size:
-        adj[lazy_rows] = _compact_rows_vec(
-            merged_ids[lazy_rows], merged_d[lazy_rows], R, sentinel
-        )
-
-    # Overflowing nodes: full anti-topo prune over the (d, id)-sorted union.
-    over_rows = np.nonzero(~lazy_mask)[0]
-    if over_rows.size:
-        pb2 = 256
-        padded = _round_up(over_rows.size, pb2)
-        rows_pad = np.concatenate(
-            [over_rows, np.zeros(padded - over_rows.size, np.int64)]
-        )
-        cd_j = jnp.asarray(merged_d[rows_pad])
-        cid_j = jnp.asarray(merged_ids[rows_pad])
-        # sort each row's union by (d, id) — prune_edges sorts before
-        # selecting (src/antitopo_engine.h:275-276)
-        cd_j, cid_j = jax.lax.sort((cd_j, cid_j), num_keys=2)
-        s_ids, _ = prune_all_device(
-            vec_s, norm_s, cid_j, cd_j,
-            cap=cap, ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
-            prune_overflow=cfg.prune_overflow, prune_block=pb2,
-            precision=cfg.precision,
-        )
-        s_ids_np = np.asarray(s_ids)[: over_rows.size]
-        block = np.full((over_rows.size, R), sentinel, np.int32)
-        block[:, :cap] = s_ids_np
-        adj[over_rows] = block
-
-    return adj
+    adj = _finish_rows_device(
+        vec_s, norm_s, merged_ids_j, merged_d_j, count_j,
+        cap=cap, R=R, ortho_factor=cfg.ortho_factor,
+        ortho_bias=cfg.ortho_bias, prune_overflow=cfg.prune_overflow,
+        prune_block=pb, precision=cfg.precision,
+    )
+    return adj[:n]
 
 
 def build_upper_layers(
@@ -600,18 +614,26 @@ def build_upper_layers(
         n_l = members.size
         if n_l == 0:
             break
-        mv = vectors[jnp.asarray(members)]
-        mn = norms[jnp.asarray(members)]
-        adj_local = _build_layer(mv, mn, cap=cfg.M, cfg=cfg)
+        members_j = jnp.asarray(members)
+        mv = vectors[members_j]
+        mn = norms[members_j]
+        adj_local = _build_layer(mv, mn, cap=cfg.M, cfg=cfg)  # device
         Ru = adj_local.shape[1]
         # local slots -> global ids; local sentinel n_l -> global sentinel n
-        lut = np.concatenate([members, np.array([sentinel], np.int32)])
-        adj_global = np.full((n_l + 1, Ru), sentinel, np.int32)
-        adj_global[:n_l] = lut[np.minimum(adj_local, n_l)]
+        lut = jnp.concatenate(
+            [members_j, jnp.array([sentinel], jnp.int32)]
+        )
+        adj_global = jnp.concatenate(
+            [
+                lut[jnp.minimum(adj_local, n_l)],
+                jnp.full((1, Ru), sentinel, jnp.int32),
+            ],
+            axis=0,
+        )
         slot = np.full(n + 1, n_l, np.int32)
         slot[members] = np.arange(n_l, dtype=np.int32)
         upper.append(
-            UpperLayer(slot=jnp.asarray(slot), adj=jnp.asarray(adj_global))
+            UpperLayer(slot=jnp.asarray(slot), adj=adj_global)
         )
     return tuple(upper)
 
@@ -635,7 +657,15 @@ def build_index(
     ):
         from expann_tpu.models.wavebuild import build_index_wave
 
-        return build_index_wave(x, cfg, wave_size=cfg.wave_size)
+        # auto-scale the wave above the default: per-wave dispatch cost is
+        # ~constant in W (it's prefix-scan bound), so a million-row corpus
+        # at W=1024 pays ~1000 dispatches where W=4096 pays ~250 for the
+        # same candidate quality (the 1M/2M runs all used 4096,
+        # BENCH_NOTES).  An explicitly non-default wave_size is honored.
+        ws = cfg.wave_size
+        if ws == 1024 and n >= 4 * cfg.auto_wave_threshold:
+            ws = 4096
+        return build_index_wave(x, cfg, wave_size=ws)
 
     vectors, norms = make_corpus(x)
     sentinel = n
@@ -643,17 +673,27 @@ def build_index(
     levels, max_layer, sv = draw_levels(n, cfg.M, cfg.seed)
 
     # ---- bottom layer over all nodes ----
+    # bottom-layer local sentinel (= n) coincides with the global sentinel,
+    # so the device rows are final as-is; append the all-sentinel dummy row
     adj0_local = _build_layer(vectors[:n], norms[:n], cap=cfg.M0, cfg=cfg)
     R0 = adj0_local.shape[1]
-    adj_bottom = np.full((n + 1, R0), sentinel, np.int32)
-    adj_bottom[:n] = np.where(adj0_local == n, sentinel, adj0_local)
+    adj_bottom = jnp.concatenate(
+        [adj0_local, jnp.full((1, R0), sentinel, jnp.int32)], axis=0
+    )
 
     upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
+
+    # the build is device-resident end to end; block here so callers'
+    # time_to_build_ns semantics match the reference (build returns a
+    # FINISHED index, src/basic_bench.h:62-71) instead of an async handle
+    jax.block_until_ready(adj_bottom)
+    for u in upper:
+        jax.block_until_ready(u.adj)
 
     return GraphIndex(
         vectors=vectors,
         norms=norms,
-        adj_bottom=jnp.asarray(adj_bottom),
+        adj_bottom=adj_bottom,
         layers=tuple(upper),
         starting_vertex=jnp.int32(sv),
     )

@@ -282,15 +282,16 @@ def build_index_wave(
     adj = jnp.full((n + 1, R), sentinel, jnp.int32)
     counts = jnp.zeros((n + 1,), jnp.int32)
 
-    # ---- bootstrap prefix: exact one-shot bottom layer ----
+    # ---- bootstrap prefix: exact one-shot bottom layer (device array;
+    # local sentinel n0 -> global sentinel n) ----
     boot = _build_layer(vectors[:n0], norms[:n0], cap=cap, cfg=cfg)
     bootR = boot.shape[1]
-    boot_rows = np.full((n0, R), sentinel, np.int32)
-    boot_rows[:, :bootR] = np.where(boot == n0, sentinel, boot)
-    adj = adj.at[:n0].set(jnp.asarray(boot_rows))
-    counts = counts.at[:n0].set(
-        jnp.sum(jnp.asarray(boot_rows) != sentinel, axis=1)
+    boot_rows = jnp.full((n0, R), sentinel, jnp.int32)
+    boot_rows = boot_rows.at[:, :bootR].set(
+        jnp.where(boot == n0, sentinel, boot)
     )
+    adj = adj.at[:n0].set(boot_rows)
+    counts = counts.at[:n0].set(jnp.sum(boot_rows != sentinel, axis=1))
 
     # build entry point: medoid of the bootstrap block
     mean = jnp.mean(vectors[:n0], axis=0, keepdims=True)
@@ -320,7 +321,8 @@ def build_index_wave(
             cap=cap, C=C, ef_c=ef_c, max_iters=max_iters,
             ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
             prune_overflow=cfg.prune_overflow,
-            overflow_rows=128, precision=cfg.precision, expand=4,
+            overflow_rows=cfg.wave_overflow_rows, precision=cfg.precision,
+            expand=cfg.wave_expand,
             sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
         if verbose and wave_idx % 32 == 0:
@@ -347,7 +349,9 @@ def build_index_wave(
         )
 
     R0 = _round_up(cap, 16)
-    adj_bottom = np.asarray(adj)[:, :R0]
+    # slice on device — round-tripping the full (n+1, R) adjacency through
+    # the host costs hundreds of MB over the tunnel at million-row scale
+    adj_bottom = adj[:, :R0]
 
     upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
     # query entry: the top-layer member (reference raises starting_vertex
@@ -359,10 +363,14 @@ def build_index_wave(
     else:
         sv = int(medoid)
 
+    jax.block_until_ready(adj_bottom)
+    for u in upper:
+        jax.block_until_ready(u.adj)
+
     return GraphIndex(
         vectors=vectors,
         norms=norms,
-        adj_bottom=jnp.asarray(adj_bottom),
+        adj_bottom=adj_bottom,
         layers=upper,
         starting_vertex=jnp.int32(sv),
     )
@@ -443,7 +451,8 @@ def extend_index_wave(
             cap=cap, C=C, ef_c=ef_c, max_iters=max_iters,
             ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
             prune_overflow=cfg.prune_overflow,
-            overflow_rows=128, precision=cfg.precision, expand=4,
+            overflow_rows=cfg.wave_overflow_rows, precision=cfg.precision,
+            expand=cfg.wave_expand,
             sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
         if verbose and wave_idx % 32 == 0:
@@ -470,11 +479,208 @@ def extend_index_wave(
         )
 
     R0 = _round_up(cap, 16)
-    adj_bottom = jnp.asarray(np.asarray(adj)[:, :R0])
+    adj_bottom = adj[:, :R0]  # device slice, no host round-trip
 
     # hierarchy over the combined corpus (prefix-stable draws, see above)
     levels, max_layer, _ = draw_levels(n, cfg.M, cfg.seed)
     upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
+    jax.block_until_ready(adj_bottom)
+    if upper:
+        members = np.nonzero(levels >= max_layer - 1)[0]
+        sv = int(members[0]) if members.size else int(graph.starting_vertex)
+    else:
+        sv = int(graph.starting_vertex)
+
+    return GraphIndex(
+        vectors=vectors,
+        norms=norms,
+        adj_bottom=adj_bottom,
+        layers=upper,
+        starting_vertex=jnp.int32(sv),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2, 3),
+    static_argnames=(
+        "cap", "C", "ef_c", "max_iters", "prune_overflow", "overflow_rows",
+        "precision", "expand", "sentinel",
+    ),
+)
+def _refine_step(
+    vectors, norms, adj, counts, wave_ids, medoid,
+    cap: int, C: int, ef_c: int, max_iters: int,
+    ortho_factor, ortho_bias, prune_overflow: int,
+    overflow_rows: int, precision: str, expand: int, sentinel: int,
+):
+    """One fused refinement wave: re-derive a block of EXISTING nodes'
+    out-edges against the FINAL graph (two-pass Vamana style).
+
+    The wave builder's early nodes chose their edges against a small
+    prefix of the corpus (the measured cause of the 1M recall plateau,
+    BENCH_NOTES); this pass re-runs their insert search on the finished
+    graph — same candidate semantics as the reference's construction
+    search + prune (src/antitopo_engine.h:396-455) — and REPLACES each
+    node's row with the fresh selection.  Three deltas vs `_wave_step`:
+
+      * the beam is seeded with the node's CURRENT row (it starts near
+        convergence, so refinement waves are cheaper than build waves),
+      * the node's current edges join the candidate union with exact
+        distances (a refined row is never worse than the prune of
+        old ∪ new),
+      * the node itself is masked out of the union (a node must not
+        select itself; d=0 would otherwise win every prune).
+
+    Reverse edges append with the same edge_exists dedup + deferred
+    overflow prune as build waves.  Single dispatch; buffers donated.
+    """
+    safe = jnp.minimum(wave_ids, sentinel)
+    wq = vectors[safe]
+    wqn = norms[safe]
+    W = wave_ids.shape[0]
+
+    row = adj[safe]  # (W, R) current edges, sentinel-padded
+    seeds = jnp.concatenate(
+        [row, jnp.broadcast_to(medoid, (W,)).astype(jnp.int32)[:, None]],
+        axis=1,
+    )
+    cand_ids, cand_d, _ = beam_search(
+        vectors, norms, adj, wq, wqn, seeds,
+        ef=ef_c, max_iters=max_iters, sentinel=sentinel,
+        precision=precision, expand=expand,
+    )
+
+    # union: beam results + current row (exact distances), self masked
+    row_d = _gather_dist2(vectors, norms, row, wq, wqn, precision)
+    u_ids = jnp.concatenate([cand_ids, row], axis=1)
+    u_d = jnp.concatenate([cand_d, row_d], axis=1)
+    drop = (u_ids == wave_ids[:, None]) | (u_ids >= sentinel)
+    u_d = jnp.where(drop, INF, u_d)
+    u_ids = jnp.where(drop, sentinel, u_ids)
+    # dedup by id keeping the best score, then rank by (d, id)
+    u_ids, u_d = jax.lax.sort((u_ids, u_d), num_keys=2)
+    rep = jnp.concatenate(
+        [jnp.zeros((W, 1), bool), u_ids[:, 1:] == u_ids[:, :-1]], axis=1
+    )
+    u_d = jnp.where(rep, INF, u_d)
+    u_ids = jnp.where(rep, sentinel, u_ids)
+    cand_d, cand_ids = jax.lax.sort((u_d, u_ids), num_keys=2)
+    cand_ids = cand_ids[:, :C]
+    cand_d = cand_d[:, :C]
+
+    cvecs = vectors[cand_ids]
+    cnorms = jnp.where(jnp.isfinite(cand_d), norms[cand_ids], INF)
+    co = pairwise_co_dist(cvecs, cnorms, precision)
+    sel_ids, sel_d = antitopo_prune(
+        cand_ids, cand_d, co,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=sentinel,
+    )
+
+    adj, counts = _write_forward(adj, counts, wave_ids, sel_ids, cap, sentinel)
+    adj, counts = _reverse_append(adj, counts, wave_ids, sel_ids, sel_d, sentinel)
+
+    top_counts, rows = jax.lax.top_k(counts[:sentinel], overflow_rows)
+    rows = jnp.where(top_counts > cap, rows, sentinel)
+    adj, counts = _overflow_prune(
+        vectors, norms, adj, counts, rows,
+        cap=cap, ortho_factor=ortho_factor, ortho_bias=ortho_bias,
+        prune_overflow=prune_overflow, sentinel=sentinel, precision=precision,
+    )
+    return adj, counts
+
+
+def refine_index_wave(
+    graph: GraphIndex,
+    cfg: Optional[BuildConfig] = None,
+    frac: float = 0.5,
+    wave_size: int = 4096,
+    refine_ef: int = 0,
+    slack: int = 64,
+    verbose: bool = False,
+) -> GraphIndex:
+    """Second-pass refinement of a wave-built index (VERDICT r4 #5).
+
+    Re-inserts the FIRST ``frac`` of the corpus — the nodes that built
+    against the smallest prefixes — against the final graph via
+    `_refine_step`, then rebuilds the (tiny) upper hierarchy.  ``refine_ef``
+    defaults to ``cfg.ef_construction``.  Derived serving caches are
+    dropped (recomputed on demand), like `extend_index_wave`.
+    """
+    cfg = cfg or BuildConfig()
+    vectors, norms = graph.vectors, graph.norms
+    n = graph.n
+    sentinel = n
+    cap = cfg.M0
+    R = _round_up(cap + slack, 16)
+    ef_c = refine_ef or cfg.ef_construction
+    C = min(cfg.prune_cand or ef_c, ef_c)
+
+    # working buffers: pad the served adjacency back out to the slack width
+    R0 = graph.adj_bottom.shape[1]
+    adj = jnp.concatenate(
+        [
+            graph.adj_bottom,
+            jnp.full((n + 1, R - R0), sentinel, jnp.int32),
+        ],
+        axis=1,
+    ) if R > R0 else graph.adj_bottom[:, :R]
+    counts = jnp.sum(adj != sentinel, axis=1).astype(jnp.int32)
+
+    medoid = jnp.asarray(graph.starting_vertex, jnp.int32)
+    n_refine = int(n * frac)
+    max_iters = 4 * ef_c + 32  # same convergence bound as build waves
+
+    idx = 0
+    wave = 0
+    total_waves = (n_refine + wave_size - 1) // wave_size
+    while idx < n_refine:
+        end = min(idx + wave_size, n_refine)
+        ids = np.arange(idx, end, dtype=np.int32)
+        if ids.size < wave_size:
+            ids = np.concatenate(
+                [ids, np.full(wave_size - ids.size, sentinel, np.int32)]
+            )
+        adj, counts = _refine_step(
+            vectors, norms, adj, counts, jnp.asarray(ids), medoid,
+            cap=cap, C=C, ef_c=ef_c, max_iters=max_iters,
+            ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            overflow_rows=cfg.wave_overflow_rows, precision=cfg.precision,
+            expand=cfg.wave_expand, sentinel=sentinel,
+        )
+        if verbose and wave % 32 == 0:
+            jax.block_until_ready(counts)
+            print(f"refine wave {wave}/{total_waves}", flush=True)
+        idx = end
+        wave += 1
+
+    # final sweep over any still-overflowing rows, then slice to serve width
+    P = 1024
+    while True:
+        c_host = np.asarray(counts[:sentinel])
+        over = np.nonzero(c_host > cap)[0].astype(np.int32)
+        if over.size == 0:
+            break
+        rows = over[:P]
+        if rows.size < P:
+            rows = np.concatenate(
+                [rows, np.full(P - rows.size, sentinel, np.int32)]
+            )
+        adj, counts = _overflow_prune_jit(
+            vectors, norms, adj, counts, jnp.asarray(rows),
+            cap=cap, ortho_factor=cfg.ortho_factor, ortho_bias=cfg.ortho_bias,
+            prune_overflow=cfg.prune_overflow,
+            sentinel=sentinel, precision=cfg.precision,
+        )
+
+    R_serve = _round_up(cap, 16)
+    adj_bottom = adj[:, :R_serve]
+
+    levels, max_layer, _ = draw_levels(n, cfg.M, cfg.seed)
+    upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
+    jax.block_until_ready(adj_bottom)
     if upper:
         members = np.nonzero(levels >= max_layer - 1)[0]
         sv = int(members[0]) if members.size else int(graph.starting_vertex)
