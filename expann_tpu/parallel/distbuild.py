@@ -73,7 +73,7 @@ def _gather_vec(vectors, norms, gid, n_shard: int):
     jax.jit,
     static_argnames=("C", "cap", "prune_overflow", "overflow_rows",
                      "n_shard", "n_total", "mesh", "precision", "reverse",
-                     "interpret", "topk_mode"),
+                     "interpret", "topk_mode", "ortho_count"),
     donate_argnums=(2, 3),
 )
 def _dist_wave_step(
@@ -85,6 +85,7 @@ def _dist_wave_step(
     n_total: int = 0,
     interpret: bool = False,
     topk_mode: str = "count",
+    ortho_count: int = 1,
 ):
     """One fused distributed insert wave (single dispatch; adjacency and
     counts donated).  ``wave_q``: (W, D) replicated wave vectors;
@@ -104,28 +105,61 @@ def _dist_wave_step(
 
     if xs_flat is None:
         # ---- dense candidate generation (sorts (W, n_shard)) ----
-        def per_shard(vec, nrm, wq, wgids, frontier):
+        # With ortho_count > 1 the pass structure mirrors the reference's
+        # per-insert construction loop (src/antitopo_engine.h:396-423) in
+        # its dense-exact form (models/build.ortho_knn_device): pass 0 is
+        # the plain scored sort; pass i >= 1 penalizes candidates that lie
+        # closer to the previously chosen entry points (each pass's
+        # first-place result, deduplicated) than to the new vertex, and the
+        # union keeps each id's best carried score.  All passes run inside
+        # this one dispatch; only the dense path supports it (the flat
+        # Pallas scan scores raw distances only).
+        def per_shard(vec, nrm, wq, wgids, frontier, pv, pn, pvalid):
             vec, nrm = vec[0], nrm[0]
             qn = squared_norms(wq)
             d2 = pairwise_dist2(
                 wq, vec[:n_shard], x_norms=nrm[:n_shard], q_norms=qn,
                 precision=precision,
             )
+            score = d2
+            if pv.shape[1] > 0:
+                co_dots = jnp.einsum(
+                    "wod,nd->won", pv, vec[:n_shard],
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                co = pn[:, :, None] + nrm[None, None, :n_shard] - 2.0 * co_dots
+                hit = (co < d2[:, None, :]) & pvalid[:, :, None]
+                pen = jnp.where(
+                    hit, ortho_factor * (d2[:, None, :] - co) + ortho_bias, 0.0
+                )
+                score = d2 + jnp.sum(pen, axis=1)
             shard_id = jax.lax.axis_index(AXIS)
             lids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             gid = shard_id * n_shard + lids
-            d2 = jnp.where(
-                (gid < frontier) & (gid != wgids[:, None]), d2, INF
+            score = jnp.where(
+                (gid < frontier) & (gid != wgids[:, None]), score, INF
             )
-            d2s, gids_s = jax.lax.sort((d2, gid), num_keys=1)
+            d2s, gids_s = jax.lax.sort((score, gid), num_keys=1)
             return gids_s[:, :C][None], d2s[:, :C][None]
 
-        gids, gd = jax.shard_map(
+        shard_gen = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P(), P()),
             out_specs=(P(AXIS), P(AXIS)),
-        )(vectors, norms, wave_q, wave_gids, frontier)
+        )
+
+        def gen_pass(chosen, chosen_valid):
+            # chosen: (W, OC) global ids of previously chosen entry points
+            # (OC may be 0 for the plain pass); vectors gathered replicated
+            pv, pn = _gather_vec(vectors, norms, chosen, n_shard)
+            return shard_gen(
+                vectors, norms, wave_q, wave_gids, frontier,
+                pv, pn, chosen_valid,
+            )
+
+        empty = jnp.zeros((W, 0), jnp.int32)
+        gids, gd = gen_pass(empty, jnp.zeros((W, 0), bool))
     else:
         # ---- streamed flat-scan candidates (one-shot mode only) ----
         from expann_tpu.ops.pallas_topk import flat_topk
@@ -189,11 +223,46 @@ def _dist_wave_step(
             out_specs=(P(AXIS), P(AXIS)),
             check_vma=False,  # pallas outputs carry no vma metadata
         )(xs_flat, wave_q, wave_gids)
-    cat_d = jnp.transpose(gd, (1, 0, 2)).reshape(W, S * C)
-    cat_i = jnp.transpose(gids, (1, 0, 2)).reshape(W, S * C)
-    cat_d, cat_i = jax.lax.sort((cat_d, cat_i), num_keys=1)
-    cand_d, cand_ids = cat_d[:, :C], cat_i[:, :C]
-    cand_ids = jnp.where(jnp.isfinite(cand_d), cand_ids, GSENT)
+    def merge_shard_lists(gids, gd):
+        cat_d = jnp.transpose(gd, (1, 0, 2)).reshape(W, S * C)
+        cat_i = jnp.transpose(gids, (1, 0, 2)).reshape(W, S * C)
+        cat_d, cat_i = jax.lax.sort((cat_d, cat_i), num_keys=1)
+        cd, ci = cat_d[:, :C], cat_i[:, :C]
+        return jnp.where(jnp.isfinite(cd), ci, GSENT), cd
+
+    cand_ids, cand_d = merge_shard_lists(gids, gd)
+
+    if ortho_count > 1:
+        assert xs_flat is None, (
+            "ortho_count > 1 requires dense candidate generation"
+        )
+        all_ids, all_d = [cand_ids], [cand_d]
+        chosen_cols = [cand_ids[:, 0]]
+        for i in range(1, ortho_count):
+            chosen = jnp.stack(chosen_cols, axis=1)  # (W, i)
+            valid_cols = [jnp.ones((W,), bool)]
+            for jj in range(1, i):
+                dupj = jnp.zeros((W,), bool)
+                for kk in range(jj):
+                    dupj = dupj | (chosen_cols[jj] == chosen_cols[kk])
+                valid_cols.append(~dupj)
+            gids_i, gd_i = gen_pass(chosen, jnp.stack(valid_cols, axis=1))
+            ids_i, d_i = merge_shard_lists(gids_i, gd_i)
+            all_ids.append(ids_i)
+            all_d.append(d_i)
+            chosen_cols.append(ids_i[:, 0])
+        # union keeping each id's best carried score (penalized passes
+        # carry penalized scores into the prune, like the reference)
+        u_i = jnp.concatenate(all_ids, axis=1)
+        u_d = jnp.concatenate(all_d, axis=1)
+        u_i, u_d = jax.lax.sort((u_i, u_d), num_keys=2)
+        rep = jnp.concatenate(
+            [jnp.zeros((W, 1), bool), u_i[:, 1:] == u_i[:, :-1]], axis=1
+        )
+        u_d = jnp.where(rep, INF, u_d)
+        u_i = jnp.where(rep, GSENT, u_i)
+        cand_d, cand_ids = jax.lax.sort((u_d, u_i), num_keys=2)
+        cand_d, cand_ids = cand_d[:, :C], cand_ids[:, :C]
 
     # ---- replicated anti-topo prune of the merged candidates ----
     cvecs, cnorms = _gather_vec(vectors, norms, cand_ids, n_shard)
@@ -444,6 +513,10 @@ def build_distributed(
 
     if candidates == "auto":
         candidates = "flat" if (mode == "oneshot" and n_shard > 65536) else "dense"
+    if cfg.ortho_count > 1 and candidates == "flat":
+        # the penalized multi-pass search needs dense per-shard scoring
+        # (the flat Pallas scan ranks raw distances only)
+        candidates = "dense"
     if not topk_mode:
         import os
 
@@ -490,7 +563,7 @@ def build_distributed(
             overflow_rows=min(128, S * n_shard), n_shard=n_shard, mesh=mesh,
             precision=cfg.precision, reverse=(mode == "incremental"),
             xs_flat=xs_flat, n_total=n, interpret=interpret,
-            topk_mode=topk_mode,
+            topk_mode=topk_mode, ortho_count=cfg.ortho_count,
         )
         if verbose:
             jax.block_until_ready(counts)

@@ -89,6 +89,35 @@ def test_distributed_build_flat_wide_candidates():
     assert recs["flat"] >= 0.8, recs
 
 
+def test_distributed_build_ortho2_parity():
+    """ortho_count=2 in the distributed builder (multi-pass penalized
+    candidate generation, reference src/antitopo_engine.h:396-423) must
+    track the wave builder's recall at the same ortho_count — the VERDICT
+    r4 parity gate for the newest builder's semantic completeness."""
+    from expann_tpu.models.wavebuild import build_index_wave
+
+    x, q = _data(3000, 50, 32, seed=11)
+    k, ef = 10, 40
+    gt = _gt(x, q, k)
+    mesh = make_mesh(8)
+    cfg = BuildConfig(M=10, ef_construction=80, prune_cand=64, ortho_count=2)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 96))))
+
+    g_dist, stats = build_distributed(
+        x, cfg, mesh, wave_size=512, bootstrap=500, mode="incremental"
+    )
+    assert stats["candidates"] == "dense"
+    ids_d, _, _ = query_batch(g_dist, qp, k=k, ef=ef)
+    rec_dist = _recall(np.asarray(ids_d), gt)
+
+    g_wave = build_index_wave(x, cfg, wave_size=512, bootstrap=500)
+    ids_w, _, _ = query_batch(g_wave, qp, k=k, ef=ef)
+    rec_wave = _recall(np.asarray(ids_w), gt)
+
+    assert rec_dist >= 0.85, rec_dist
+    assert rec_dist >= rec_wave - 0.05, (rec_dist, rec_wave)
+
+
 @pytest.mark.parametrize("mode", ["oneshot", "incremental"])
 def test_distributed_build_one_global_graph(mode):
     x, q = _data(4000, 60, 32)
