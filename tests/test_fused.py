@@ -49,9 +49,11 @@ def test_query_fused_matches_packed(expand, cand):
     ids = fused_eng.query_k_batch(queries, k)
     r_fused = recall(ids)
     # the fused merge keeps cand candidates per iteration vs the packed
-    # path's full sort; small recall give is acceptable, large is a bug
-    assert r_fused >= r_packed - 0.05, (r_fused, r_packed)
-    assert r_fused > 0.85
+    # path's full sort; the gap must stay within noise (VERDICT r4 gate
+    # tightening: 0.02 at equal ef, so a seeded ~4-point regression in the
+    # flagship kernel fails the suite)
+    assert r_fused >= r_packed - 0.02, (r_fused, r_packed)
+    assert r_fused > 0.9
     # duplicate-free results (the reference's basic_bench assertion)
     for row in ids:
         valid = row[(row >= 0) & (row < n)]
