@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_QPS_EST = 10_000.0  # round-1..3 engineering estimate (see docstring)
 BASELINE_QPS_MEASURED = 587.2  # native/baseline_search.cpp @ recall 0.952
+BASELINE_BUILD_S = 1028.9  # native/baseline_build.cpp, 56k M=60 efc=500 solo
 RECALL_TARGET = 0.95
 
 
@@ -367,10 +368,20 @@ def main() -> None:
         ],
         "flat_build_s": round(flat_build_s, 1),
         "graph_build_s": round(graph_build_s, 1),
+        "vs_baseline_build": round(BASELINE_BUILD_S / graph_build_s, 2),
         "baseline_note": (
             "vs_baseline = measured single-core CPU reference-loop QPS on "
             "this host (587.2 @ recall 0.952, native/baseline_search.cpp, "
-            "BASELINE.md); vs_baseline_est10k = rounds 1-3 estimate"
+            "BASELINE.md); vs_baseline_est10k = rounds 1-3 estimate; "
+            "vs_baseline_build = measured single-core insert-loop build "
+            "wall-clock (1028.9s at the canonical 56k config, "
+            "native/baseline_build.cpp) / graph_build_s"
+        ),
+        "pairing_note": (
+            "recall is measured on the 400 canonical queries; QPS on "
+            "fresh unique N(0,1) batches of the same distribution "
+            "(identical repeated batches get dispatch-deduped on this "
+            "stack and report absurd numbers — BENCH_NOTES 'protocol')"
         ),
     }
     print(json.dumps(out))
