@@ -67,6 +67,7 @@ class AntitopoConfig:
     wave_size: int = 1024
     wave_expand: int = 4  # wave-builder beam expansion rows per iteration
     wave_overflow_rows: int = 128  # fullest rows repruned per wave
+    refine_frac: float = 0.0  # two-pass refinement fraction after wave builds
     # quantization mode for use_compression: "simple" (uint8 cast, the
     # reference's live path) or "ranged" (min/max affine q8, the principled
     # variant the reference defines but never instantiates)
@@ -273,6 +274,7 @@ class AntitopoEngine(Engine):
             wave_size=c.wave_size,
             wave_expand=c.wave_expand,
             wave_overflow_rows=c.wave_overflow_rows,
+            refine_frac=c.refine_frac,
         )
 
     def _attach_codes(self) -> None:
@@ -450,7 +452,16 @@ class AntitopoEngine(Engine):
         out = []
         bs = self.cfg.query_block
         nq = q.shape[0]
-        for start in range(0, nq, bs):
+        # quantized serving runs the fused i8 packed path when packed
+        # codes exist (i8 forced by _resolve_packed on TPU); off the
+        # packed path it runs the XLA uint8-gather compressed beam
+        compressed = bool(
+            self.cfg.use_compression and self.graph.codes is not None
+        )
+
+        def _prep(start):
+            """Host-side chunk prep + device upload (thread-safe: numpy +
+            device_put only)."""
             chunk = q[start : start + bs]
             real = chunk.shape[0]
             # Bucket the batch dimension to the next power of two so each
@@ -468,12 +479,7 @@ class AntitopoEngine(Engine):
             fused_this = use_fused and (
                 bucket >= self.cfg.fused_qt or self.cfg.use_fused is True
             )
-            # quantized serving runs the fused i8 packed path when packed
-            # codes exist (i8 forced by _resolve_packed on TPU); off the
-            # packed path it runs the XLA uint8-gather compressed beam
-            compressed = bool(
-                self.cfg.use_compression and self.graph.codes is not None
-            )
+            qt = 0
             if fused_this:
                 qt = min(self.cfg.fused_qt, bucket)
                 # the kernel requires bucket % qt == 0; a user-set
@@ -484,72 +490,100 @@ class AntitopoEngine(Engine):
                 chunk = np.concatenate(
                     [chunk, np.zeros((bucket - real, q.shape[1]), np.float32)]
                 )
-            if fused_this and (
+            fused_path = fused_this and (
                 not compressed or self.graph.packed_codes is not None
-            ):
-                # ef is a runtime scalar here: sweeping ef_search reuses
-                # one compile per 128-wide ef_cap bucket (crossing a
-                # bucket boundary, e.g. 120 -> 160, compiles the wider
-                # beam once — models/search.fused_query_batch).  Queries
-                # ship as bf16 (2 B/dim — the kernel scores bf16/s8 blocks
-                # anyway and the axon host->device link is the dominant
-                # per-call cost, tools/probe_flat_overhead.py) or, with
-                # query_wire="i8", as 1 B/dim absmax codes dequantized to
-                # f32 in-trace; either wire is upcast to f32 on device for
-                # descent/rerank.
-                import ml_dtypes
+            )
+            if not fused_path:
+                return (False, chunk, None, qt, real)
+            # Queries ship as bf16 (2 B/dim — the kernel scores bf16/s8
+            # blocks anyway and the host->device link is the dominant
+            # per-call cost, tools/probe_flat_overhead.py) or, with
+            # query_wire="i8", as 1 B/dim absmax codes dequantized to
+            # f32 in-trace; either wire is upcast to f32 on device for
+            # descent/rerank.
+            import ml_dtypes
 
-                if self.cfg.query_wire == "i8":
-                    a = np.maximum(
-                        np.abs(chunk).max(axis=1, keepdims=True), 1e-30
-                    )
-                    q_op = jnp.asarray(
-                        np.clip(
-                            np.round(chunk * (127.0 / a)), -127, 127
-                        ).astype(np.int8)
-                    )
-                    q_inv = jnp.asarray((a / 127.0).astype(np.float32))
-                else:
-                    q_op = jnp.asarray(chunk.astype(ml_dtypes.bfloat16))
-                    q_inv = None
-                ids, _, ncomp = fused_query_batch(
-                    self.graph,
-                    q_op,
-                    ef=np.int32(ef),
-                    k=k,
-                    ef_cap=ef + ((-ef) % 128),
-                    expand=self.cfg.query_expand,
-                    cand=self.cfg.fused_cand,
-                    qt=qt,
-                    seeds=self.cfg.entry_seeds,
-                    precision=self.cfg.precision,
-                    interpret=interpret,
-                    sort_tiles=self.cfg.fused_sort_tiles,
-                    merge=self.cfg.fused_merge
-                    or os.environ.get("EXPANN_FUSED_MERGE", "topt"),
-                    q_inv_scale=q_inv,
+            if self.cfg.query_wire == "i8":
+                a = np.maximum(
+                    np.abs(chunk).max(axis=1, keepdims=True), 1e-30
                 )
+                q_op = jnp.asarray(
+                    np.clip(
+                        np.round(chunk * (127.0 / a)), -127, 127
+                    ).astype(np.int8)
+                )
+                q_inv = jnp.asarray((a / 127.0).astype(np.float32))
             else:
-                # the per-iteration packed kernel scores raw blocks against
-                # the raw query — it has no code-space transform, so i8
-                # packed layouts fall back to the plain XLA-gather path
-                packed_ok = use_packed and self.cfg.packed_dtype != "i8"
-                ids, _, ncomp = query_batch(
-                    self.graph,
-                    jnp.asarray(chunk),
-                    k=k,
-                    ef=ef,
-                    precision=self.cfg.precision,
-                    compressed=compressed,
-                    expand=self.cfg.query_expand,
-                    use_packed=packed_ok,
-                    packed_topt=self.cfg.packed_topt,
-                    interpret=bool(packed_ok and interpret),
-                )
-            # defer host conversion: converting inside the loop would
-            # block each chunk and serialize transfer against compute
-            # (JAX dispatch is async; the flat engine does the same)
-            out.append((ids, ncomp, real))
+                q_op = jnp.asarray(chunk.astype(ml_dtypes.bfloat16))
+                q_inv = None
+            return (True, q_op, q_inv, qt, real)
+
+        starts = list(range(0, nq, bs))
+        # device_put BLOCKS on this runtime (the axon client transfers
+        # synchronously inside the put call — measured 2026-08-20, 8-50ms
+        # per production block, load-dependent), so uploading chunk i+1
+        # from the dispatch thread serializes the wire against compute.
+        # One prefetch worker overlaps the next chunk's quantize+upload
+        # with the current chunk's kernel time; a single worker keeps the
+        # puts ordered and results order unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1) if len(starts) > 1 else None
+        try:
+            fut = None
+            for idx, start in enumerate(starts):
+                item = fut.result() if fut is not None else _prep(start)
+                if ex is not None and idx + 1 < len(starts):
+                    fut = ex.submit(_prep, starts[idx + 1])
+                fused_path, q_op, q_inv, qt, real = item
+                if fused_path:
+                    # ef is a runtime scalar here: sweeping ef_search
+                    # reuses one compile per 128-wide ef_cap bucket
+                    # (crossing a bucket boundary, e.g. 120 -> 160,
+                    # compiles the wider beam once —
+                    # models/search.fused_query_batch).
+                    ids, _, ncomp = fused_query_batch(
+                        self.graph,
+                        q_op,
+                        ef=np.int32(ef),
+                        k=k,
+                        ef_cap=ef + ((-ef) % 128),
+                        expand=self.cfg.query_expand,
+                        cand=self.cfg.fused_cand,
+                        qt=qt,
+                        seeds=self.cfg.entry_seeds,
+                        precision=self.cfg.precision,
+                        interpret=interpret,
+                        sort_tiles=self.cfg.fused_sort_tiles,
+                        merge=self.cfg.fused_merge
+                        or os.environ.get("EXPANN_FUSED_MERGE", "topt"),
+                        q_inv_scale=q_inv,
+                    )
+                else:
+                    # the per-iteration packed kernel scores raw blocks
+                    # against the raw query — it has no code-space
+                    # transform, so i8 packed layouts fall back to the
+                    # plain XLA-gather path
+                    packed_ok = use_packed and self.cfg.packed_dtype != "i8"
+                    ids, _, ncomp = query_batch(
+                        self.graph,
+                        jnp.asarray(q_op),
+                        k=k,
+                        ef=ef,
+                        precision=self.cfg.precision,
+                        compressed=compressed,
+                        expand=self.cfg.query_expand,
+                        use_packed=packed_ok,
+                        packed_topt=self.cfg.packed_topt,
+                        interpret=bool(packed_ok and interpret),
+                    )
+                # defer host conversion: converting inside the loop would
+                # block each chunk and serialize transfer against compute
+                # (JAX dispatch is async; the flat engine does the same)
+                out.append((ids, ncomp, real))
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=True)
         res = []
         for ids, ncomp, real in out:
             res.append(np.asarray(ids)[:real])

@@ -204,8 +204,13 @@ class BruteForceEngine(Engine):
         # first host read-back, so JAX's async dispatch overlaps each
         # chunk's transfer with the previous chunk's scan.
         bs = max(self.batch_size, min(q.shape[0], 16384))
-        pending = []
-        for start in range(0, q.shape[0], bs):
+
+        def _prep(start):
+            """Chunk pad + quantize + device upload.  Runs on a single
+            prefetch worker: device_put BLOCKS on this runtime (the axon
+            client transfers synchronously inside the call — measured
+            2026-08-20), so uploading from the dispatch thread serializes
+            the wire against the scan."""
             chunk = q[start : start + bs]
             real = chunk.shape[0]
             pad = (-real) % tile
@@ -219,6 +224,18 @@ class BruteForceEngine(Engine):
                 )
             else:
                 qk = jnp.asarray(chunk.astype(ml_dtypes.bfloat16))
+            return chunk, qk, real
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        starts = list(range(0, q.shape[0], bs))
+        ex = ThreadPoolExecutor(max_workers=1) if len(starts) > 1 else None
+        pending = []
+        fut = None
+        for idx_s, start in enumerate(starts):
+            chunk, qk, real = fut.result() if fut is not None else _prep(start)
+            if ex is not None and idx_s + 1 < len(starts):
+                fut = ex.submit(_prep, starts[idx_s + 1])
             ids, _ = flat_topk(
                 qk,
                 self._x_fused,
@@ -242,6 +259,8 @@ class BruteForceEngine(Engine):
                         qd, self._x, self._x_norms, ids, k=k
                     )
             pending.append((ids, real))
+        if ex is not None:
+            ex.shutdown(wait=True)
         return np.concatenate(
             [np.asarray(ids)[:real] for ids, real in pending], axis=0
         )

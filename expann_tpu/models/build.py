@@ -464,6 +464,10 @@ class BuildConfig:
     # deferred lazy prune each wave
     wave_expand: int = 4
     wave_overflow_rows: int = 128
+    # two-pass refinement (models/wavebuild.refine_index_wave): re-insert
+    # the first `refine_frac` of the corpus against the final graph after
+    # a wave build (0 disables)
+    refine_frac: float = 0.0
 
     def __post_init__(self):
         if self.M0 == 0:
@@ -665,7 +669,14 @@ def build_index(
         ws = cfg.wave_size
         if ws == 1024 and n >= 4 * cfg.auto_wave_threshold:
             ws = 4096
-        return build_index_wave(x, cfg, wave_size=ws)
+        g = build_index_wave(x, cfg, wave_size=ws)
+        if cfg.refine_frac > 0.0:
+            from expann_tpu.models.wavebuild import refine_index_wave
+
+            g = refine_index_wave(
+                g, cfg, frac=cfg.refine_frac, wave_size=ws
+            )
+        return g
 
     vectors, norms = make_corpus(x)
     sentinel = n
