@@ -669,7 +669,13 @@ def build_index(
         ws = cfg.wave_size
         if ws == 1024 and n >= 4 * cfg.auto_wave_threshold:
             ws = 4096
-        g = build_index_wave(x, cfg, wave_size=ws)
+        # long builds are silent RPC-waits on this host otherwise; the env
+        # knob turns on per-32-wave progress lines (engine/CLI path has no
+        # verbose parameter to thread through)
+        import os as _os
+
+        verbose = _os.environ.get("EXPANN_BUILD_VERBOSE") == "1"
+        g = build_index_wave(x, cfg, wave_size=ws, verbose=verbose)
         if cfg.refine_frac > 0.0:
             from expann_tpu.models.wavebuild import refine_index_wave
 
