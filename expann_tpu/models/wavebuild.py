@@ -325,8 +325,15 @@ def build_index_wave(
             expand=cfg.wave_expand,
             sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
-        if verbose and wave_idx % 32 == 0:
+        # bound the async dispatch queue: unboundedly enqueuing hundreds
+        # of donated wave dispatches hangs this host's tunnel client
+        # (observed 2026-08-20: device idle, client parked, 2/2 runs at
+        # 1M; the distbuild path never hit it because verbose=True blocks
+        # every wave).  One round-trip per 4 waves is noise vs 10-20s of
+        # device work per wave.
+        if wave_idx % 4 == 0 or verbose and wave_idx % 32 == 0:
             jax.block_until_ready(counts)
+        if verbose and wave_idx % 32 == 0:
             print(f"wave build: {i}/{n}", flush=True)
         i += W
         wave_idx += 1
@@ -455,8 +462,9 @@ def extend_index_wave(
             expand=cfg.wave_expand,
             sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
-        if verbose and wave_idx % 32 == 0:
+        if wave_idx % 4 == 0:  # bound the dispatch queue (see build loop)
             jax.block_until_ready(counts)
+        if verbose and wave_idx % 32 == 0:
             print(f"extend build: {i}/{n}", flush=True)
         i += W
         wave_idx += 1
@@ -650,8 +658,9 @@ def refine_index_wave(
             overflow_rows=cfg.wave_overflow_rows, precision=cfg.precision,
             expand=cfg.wave_expand, sentinel=sentinel,
         )
-        if verbose and wave % 32 == 0:
+        if wave % 4 == 0:  # bound the dispatch queue (see build loop)
             jax.block_until_ready(counts)
+        if verbose and wave % 32 == 0:
             print(f"refine wave {wave}/{total_waves}", flush=True)
         idx = end
         wave += 1
