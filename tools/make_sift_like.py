@@ -72,11 +72,15 @@ def exact_gt(x: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
     import jax.numpy as jnp
 
     n, d = x.shape
+    # corpus rides as jit OPERANDS: closed-over device arrays become
+    # embedded HLO constants and blow the remote compile server's request
+    # limit (HTTP 413 at 512MB — observed 2026-08-20 on the first
+    # full-scale run of this tool)
     xd = jnp.asarray(x)
     xn = jnp.sum(xd.astype(jnp.float32) ** 2, axis=1)
 
     @jax.jit
-    def topk(qc):
+    def topk(qc, xd, xn):
         qn = jnp.sum(qc**2, axis=1)
         d2 = (
             qn[:, None]
@@ -95,7 +99,7 @@ def exact_gt(x: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
     B = 512
     for s in range(0, q.shape[0], B):
         qc = jnp.asarray(q[s : s + B])
-        out.append(np.asarray(topk(qc)))
+        out.append(np.asarray(topk(qc, xd, xn)))
         if s % 4096 == 0:
             print(f"gt {s}/{q.shape[0]}", flush=True)
     return np.concatenate(out, axis=0)
