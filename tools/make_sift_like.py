@@ -79,6 +79,8 @@ def exact_gt(x: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
     xd = jnp.asarray(x)
     xn = jnp.sum(xd.astype(jnp.float32) ** 2, axis=1)
 
+    # (512, 1M) lax.top_k at k=100: ~4 min remote compile (2026-08-20),
+    # then ~10s/chunk — acceptable for a one-time GT pass
     @jax.jit
     def topk(qc, xd, xn):
         qn = jnp.sum(qc**2, axis=1)
