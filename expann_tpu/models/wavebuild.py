@@ -325,14 +325,14 @@ def build_index_wave(
             expand=cfg.wave_expand,
             sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
-        # bound the async dispatch queue: unboundedly enqueuing hundreds
-        # of donated wave dispatches hangs this host's tunnel client
-        # (observed 2026-08-20: device idle, client parked, 2/2 runs at
-        # 1M; the distbuild path never hit it because verbose=True blocks
-        # every wave).  One round-trip per 4 waves is noise vs 10-20s of
-        # device work per wave.
-        if wave_idx % 4 == 0 or verbose and wave_idx % 32 == 0:
-            jax.block_until_ready(counts)
+        # sync EVERY wave: this host's tunnel client parks forever in a
+        # socket read when donated wave dispatches are enqueued ahead of
+        # their predecessors' completion (observed 2026-08-20 at 1M:
+        # 2/2 hangs with an unbounded queue, and a third hang with the
+        # queue bounded to 4 — while the distbuild path, which blocks
+        # every wave, has never hit it).  One round-trip per wave is noise
+        # vs seconds of device work per wave.
+        jax.block_until_ready(counts)
         if verbose and wave_idx % 32 == 0:
             print(f"wave build: {i}/{n}", flush=True)
         i += W
@@ -341,6 +341,9 @@ def build_index_wave(
     # final sweep so every row obeys the cap, then compact the width
     counts_np = np.asarray(counts[:n])
     over = np.nonzero(counts_np > cap)[0].astype(np.int32)
+    if verbose:
+        print(f"wave build: final overflow sweep ({over.size} rows)",
+              flush=True)
     P = 128
     for r0 in range(0, over.size, P):
         rows = over[r0 : r0 + P]
@@ -354,12 +357,16 @@ def build_index_wave(
             prune_overflow=cfg.prune_overflow,
             sentinel=sentinel, precision=cfg.precision,
         )
+        jax.block_until_ready(counts)  # sync every dispatch (tunnel-client
+        # hang — see the wave loop)
 
     R0 = _round_up(cap, 16)
     # slice on device — round-tripping the full (n+1, R) adjacency through
     # the host costs hundreds of MB over the tunnel at million-row scale
     adj_bottom = adj[:, :R0]
 
+    if verbose:
+        print("wave build: upper layers", flush=True)
     upper = build_upper_layers(vectors, norms, levels, max_layer, cfg)
     # query entry: the top-layer member (reference raises starting_vertex
     # as layers appear, src/antitopo_engine.h:459-462); fall back to the
@@ -462,8 +469,7 @@ def extend_index_wave(
             expand=cfg.wave_expand,
             sentinel=sentinel, ortho_count=cfg.ortho_count,
         )
-        if wave_idx % 4 == 0:  # bound the dispatch queue (see build loop)
-            jax.block_until_ready(counts)
+        jax.block_until_ready(counts)  # sync every wave (see build loop)
         if verbose and wave_idx % 32 == 0:
             print(f"extend build: {i}/{n}", flush=True)
         i += W
@@ -485,6 +491,7 @@ def extend_index_wave(
             prune_overflow=cfg.prune_overflow,
             sentinel=sentinel, precision=cfg.precision,
         )
+        jax.block_until_ready(counts)  # sync every dispatch (see build loop)
 
     R0 = _round_up(cap, 16)
     adj_bottom = adj[:, :R0]  # device slice, no host round-trip
@@ -658,8 +665,7 @@ def refine_index_wave(
             overflow_rows=cfg.wave_overflow_rows, precision=cfg.precision,
             expand=cfg.wave_expand, sentinel=sentinel,
         )
-        if wave % 4 == 0:  # bound the dispatch queue (see build loop)
-            jax.block_until_ready(counts)
+        jax.block_until_ready(counts)  # sync every wave (see build loop)
         if verbose and wave % 32 == 0:
             print(f"refine wave {wave}/{total_waves}", flush=True)
         idx = end
