@@ -656,11 +656,9 @@ def build_index(
     n = x.shape[0]
     assert n > 0
 
-    if cfg.builder == "wave" or (
+    if cfg.builder in ("wave", "dist") or (
         cfg.builder == "auto" and n > cfg.auto_wave_threshold
     ):
-        from expann_tpu.models.wavebuild import build_index_wave
-
         # auto-scale the wave above the default: per-wave dispatch cost is
         # ~constant in W (it's prefix-scan bound), so a million-row corpus
         # at W=1024 pays ~1000 dispatches where W=4096 pays ~250 for the
@@ -675,7 +673,27 @@ def build_index(
         import os as _os
 
         verbose = _os.environ.get("EXPANN_BUILD_VERBOSE") == "1"
-        g = build_index_wave(x, cfg, wave_size=ws, verbose=verbose)
+        if cfg.builder == "wave":
+            # explicit opt-in only: the incremental wave path's dispatch
+            # pattern deterministically wedges this host's tunnel client
+            # ~225 waves into a 1M build (device idle, client parked in a
+            # socket read; reproduced 4x 2026-08-20, including with every
+            # dispatch synchronously blocked, so it is not queue depth) —
+            # the distributed builder's pattern has completed 1M/2M builds
+            # many times, so "auto" routes large corpora there instead
+            from expann_tpu.models.wavebuild import build_index_wave
+
+            g = build_index_wave(x, cfg, wave_size=ws, verbose=verbose)
+        else:
+            from expann_tpu.parallel.distbuild import build_distributed
+            from expann_tpu.parallel.sharded import make_mesh
+
+            # candidates="auto": segmented flat scans above 64k rows (the
+            # proven 1M/2M configuration), dense-exact below
+            g, _stats = build_distributed(
+                x, cfg, make_mesh(1), wave_size=max(ws, 4096),
+                mode="oneshot", candidates="auto", verbose=verbose,
+            )
         if cfg.refine_frac > 0.0:
             from expann_tpu.models.wavebuild import refine_index_wave
 

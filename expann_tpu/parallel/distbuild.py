@@ -565,8 +565,11 @@ def build_distributed(
             xs_flat=xs_flat, n_total=n, interpret=interpret,
             topk_mode=topk_mode, ortho_count=cfg.ortho_count,
         )
+        # sync every wave: async-queued wave dispatches wedge this host's
+        # tunnel client (models/wavebuild.py build loop note); every
+        # completed 1M/2M distbuild run blocked per wave (verbose=True)
+        jax.block_until_ready(counts)
         if verbose:
-            jax.block_until_ready(counts)
             print(f"distributed build fwd: {i}/{n}", flush=True)
 
     # ---- phase 2 (one-shot): reverse edges from the final forward rows ----
@@ -580,8 +583,8 @@ def build_distributed(
                 overflow_rows=min(128, S * n_shard), n_shard=n_shard,
                 precision=cfg.precision,
             )
+            jax.block_until_ready(counts)  # sync every wave (see phase 1)
             if verbose:
-                jax.block_until_ready(counts)
                 print(f"distributed build rev: {i}/{n}", flush=True)
 
     # ---- final sweep: enforce the cap everywhere ----
