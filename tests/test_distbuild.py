@@ -158,3 +158,28 @@ def test_distributed_build_one_global_graph(mode):
         assert rec_global >= rec_one - 0.03, (rec_global, rec_one)
     else:
         assert rec_global >= rec_one - 0.08, (rec_global, rec_one)
+
+
+def test_builder_dist_route_matches_oneshot():
+    """`BuildConfig.builder="dist"` routes build_index through the
+    distributed builder on a 1-device mesh (the route "auto" takes for
+    large corpora since the wave path's tunnel-client hang — see
+    models/build.py); its graph must serve within a few recall points of
+    the one-shot builder at equal ef."""
+    x, q = _data(3000, 50, 32, seed=3)
+    k, ef = 10, 40
+    gt = _gt(x, q, k)
+    cfg_dist = BuildConfig(M=10, ef_construction=80, prune_cand=64,
+                           builder="dist")
+    g_dist = build_index(x, cfg_dist)
+    qp = jnp.asarray(np.pad(q, ((0, 0), (0, 96))))
+    ids, _, _ = query_batch(g_dist, qp, k=k, ef=ef)
+    rec_dist = _recall(np.asarray(ids), gt)
+
+    cfg_one = BuildConfig(M=10, ef_construction=80, prune_cand=64,
+                          builder="oneshot")
+    g_one = build_index(x, cfg_one)
+    ids_one, _, _ = query_batch(g_one, qp, k=k, ef=ef)
+    rec_one = _recall(np.asarray(ids_one), gt)
+
+    assert rec_dist >= rec_one - 0.03, (rec_dist, rec_one)
