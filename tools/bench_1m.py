@@ -63,6 +63,11 @@ def main():
     ap.add_argument("--qb", type=int, default=8192,
                     help="serving query_block; 16384 halves the dispatch "
                     "count and measured +22%% at 56k (BENCH_NOTES)")
+    # override the canonical pareto sweep with specific ef points
+    # (expand=2, cand=8, i8 — the measured operating point), e.g.
+    # --ef-list 100,110 to bracket a recall gate on a saved index
+    ap.add_argument("--ef-list", default="")
+    ap.add_argument("--skip-flat", action="store_true")
     args = ap.parse_args()
     if not (args.data in ("gaussian", "clustered")
             or args.data.startswith("fvecs:")):
@@ -189,6 +194,8 @@ def main():
     plist = [(e_, ef_, c_, "i8") for e_, ef_, c_ in pts]
     if bf16_fits:
         plist += [(2, 120, 16, "bf16")]
+    if args.ef_list:
+        plist = [(2, int(s), 8, "i8") for s in args.ef_list.split(",")]
     for expand, ef, cand, pdt in plist:
         acfg = AntitopoConfig(
             M=args.M, ef_construction=args.efc, ef_search=ef,
@@ -222,7 +229,7 @@ def main():
         del eng
 
     # ---- flat scans ----
-    for mode in ("fused", "fused_i8"):
+    for mode in () if args.skip_flat else ("fused", "fused_i8"):
         eng = BruteForceEngine(
             mode=mode,
             query_wire=args.wire if mode == "fused_i8" else "bf16",
