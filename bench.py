@@ -264,9 +264,12 @@ def main() -> None:
         fused_cand=8,
         fused_qt=128,
         # qb=16384 halves the RPC count at Q=65536 vs the round-3 8192:
-        # +22% e2e same-session (80.3k -> 97.9k @ ef=100 i8 packed;
-        # tools/perf_ab_serving.py --sweep qb, BENCH_NOTES "query wire /
-        # query_block"); 32768 gives it back to pipeline fill
+        # +22% e2e (tools/perf_ab_serving.py --sweep qb).  Re-tested with
+        # the round-5 prefetch uploads (2026-08-21): 32768 won a LOADED-
+        # tunnel interleaved A/B by ~6% median but lost the light-tunnel
+        # full capture by 9% (108.3k vs 118.9k @ wire_i8 ef=110), so
+        # 16384 stays — block size trades wire batching against pipeline
+        # granularity and the capture conditions are the light ones
         query_block=16384,
         # dense multi-seed entry scan: same recall, ~1.7x QPS (better
         # entries -> far fewer traversal iterations; the upper-layer
